@@ -1,0 +1,560 @@
+"""Batched, pure-functional V2V resource-selection environment in JAX.
+
+This is the TPU-native redesign of the reference environment stack
+(reference envs/test_env.py + envs/network.py + envs/vehicle.py): the
+mutating Vehicle/Network/TestEnv object graph becomes an ``EnvState``
+pytree of flat arrays, and every step flavor is a pure function
+``(cfg, state, actions, t) -> (state', obs, rew)`` that jits, vmaps over
+thousands of env instances, and shards over a device mesh.
+
+Vectorization map (reference construct -> here):
+
+* per-channel Python collision scan (test_env.py:147-157)
+  -> one-hot action matrix + per-channel masked reductions;
+* ``find_closest_tx`` linear scan (network.py:378-398)
+  -> masked argmin over a dense [N, N] distance matrix (first-occurrence
+  argmin matches the reference's strict-< scan over ascending user ids);
+* per-vehicle neighbor-table dicts (vehicle.py:20-70)
+  -> [N, N] table arrays with seq-gated ``where`` merges;
+* ``np.histogram`` positional distributions (network.py:473-513)
+  -> ops.histogram masked equality-expansion histograms (bit-exact index
+  math);
+* mobility loop (network.py:189-206) -> one modular-arithmetic update.
+
+Semantics follow the NumPy oracle (envs/oracle.py) exactly; golden tests
+compare the two element-for-element in float64.  Sequencing that the
+reference performs in channel order (piggyback merges feeding later
+channels through the live-table aliasing quirk) is preserved by carrying
+the table state through a per-channel loop; merges within one channel are
+order-independent (a channel's transmitters are never its receivers, so no
+table is both source and destination in the same channel).
+
+Known deviations (out of the toy/BASELINE domain, documented):
+
+* ``piggybacking=True``'s growing ``np.insert`` observation
+  (test_env.py:241-254) is data-dependent-shape and cannot be jitted; the
+  NumPy oracle implements it, the JAX engine raises.
+* ``state_type == 1`` with no in-range transmitter would crash the
+  reference (test_env.py:230-232 indexes ``vehicles[None]``); here the
+  merge is skipped.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from diral_tpu.config import EnvConfig
+from diral_tpu.ops.distance import pairwise_distances, signed_dx
+from diral_tpu.ops.histogram import masked_count_histogram, masked_weighted_histogram
+
+STALENESS_CUTOFF = 20
+NO_TX_DIST = 100000.0
+IA_HORIZON = 100
+PF_THRESHOLD = 10
+PF_PENALTY = -10.0
+
+
+class EnvState(struct.PyTreeNode):
+    """Complete world state of one env instance (batch via vmap).
+
+    Replaces the reference's Vehicle/Network object graph: positions and
+    mobility (vehicle.py:9-15), per-vehicle neighbor tables
+    (vehicle.py:20-33; row i = vehicle i's knowledge of vehicle j),
+    packet-arrival bookkeeping (network.py:38-42), piggyback channel
+    memory (test_env.py:77-79) and proportional-fair counters
+    (test_env.py:87-92)."""
+
+    pos_x: jax.Array      # [N] float
+    pos_y: jax.Array      # [N] float
+    vel: jax.Array        # [N] float
+    direction: jax.Array  # [N] float, +1 right / -1 left
+    table_x: jax.Array    # [N, N] float
+    table_y: jax.Array    # [N, N] float
+    table_seq: jax.Array  # [N, N] int32
+    table_age: jax.Array  # [N, N] int32
+    last_arrival: jax.Array  # [N, N] int32, (tx, rx), -1 = never/out-of-range
+    prev_obs: jax.Array   # [N, C] float
+    pf_counter: jax.Array  # [N] int32
+
+
+# ---------------------------------------------------------------------------
+# Construction
+# ---------------------------------------------------------------------------
+
+
+def _blank_state(cfg: EnvConfig, pos_x, pos_y, vel, direction, dtype) -> EnvState:
+    n, c = cfg.num_users, cfg.num_channels
+    # jnp.array (not asarray): on CPU, asarray can zero-copy alias a NumPy
+    # buffer, so later in-place mutation by the caller (e.g. the oracle in
+    # parity tests) would leak into this state.
+    return EnvState(
+        pos_x=jnp.array(pos_x, dtype),
+        pos_y=jnp.array(pos_y, dtype),
+        vel=jnp.array(vel, dtype),
+        direction=jnp.array(direction, dtype),
+        table_x=jnp.zeros((n, n), dtype),
+        table_y=jnp.zeros((n, n), dtype),
+        table_seq=jnp.zeros((n, n), jnp.int32),
+        table_age=jnp.zeros((n, n), jnp.int32),
+        last_arrival=jnp.full((n, n), -1, jnp.int32),
+        prev_obs=jnp.zeros((n, c), dtype),
+        pf_counter=jnp.zeros((n,), jnp.int32),
+    )
+
+
+def reset(cfg: EnvConfig, key: jax.Array, dtype=jnp.float32) -> EnvState:
+    """Random-highway topology with the reference's distributions
+    (network.py:92-119: integer x in [0, L), y = 0, speed U(1.1, 2.7),
+    all moving right), drawn from JAX's threefry instead of the global
+    NumPy/py RNGs.  For call-for-call RNG parity use the oracle +
+    ``reset_from``."""
+    n = cfg.num_users
+    kx, kv = jax.random.split(key)
+    if cfg.enable_design_topology:
+        xs = jnp.asarray([0, 195, 390, 585, 780, 975][:n], dtype)
+        ys = jnp.asarray([1, 1, 2, 2, 2, 2][:n], dtype)
+        return _blank_state(cfg, xs, ys, jnp.ones(n, dtype), jnp.ones(n, dtype), dtype)
+    pos_x = jax.random.randint(kx, (n,), 0, cfg.highway_length).astype(dtype)
+    pos_y = jnp.zeros((n,), dtype)
+    if cfg.mobility_vary:
+        vel = jnp.full((n,), 1.7, dtype)
+    else:
+        vel = jax.random.uniform(kv, (n,), dtype, 1.1, 2.7)
+    return _blank_state(cfg, pos_x, pos_y, vel, jnp.ones(n, dtype), dtype)
+
+
+def reset_fixed_4ue(cfg: EnvConfig, dtype=jnp.float32) -> EnvState:
+    """Deterministic 4-vehicle fixture (network.py:81-90)."""
+    return _blank_state(
+        cfg, [3.0, 5.0, 3.0, 5.0], [1.0, 1.0, 2.0, 2.0],
+        [0.5, 1.0, 1.25, 1.5], [1.0, 1.0, 1.0, 1.0], dtype,
+    )
+
+
+def reset_from(cfg: EnvConfig, pos_x, pos_y, vel, direction, dtype=jnp.float32) -> EnvState:
+    """Inject an exact topology (oracle-parity entry point)."""
+    return _blank_state(cfg, pos_x, pos_y, vel, direction, dtype)
+
+
+def sample_actions(cfg: EnvConfig, key: jax.Array) -> jax.Array:
+    """Uniform random action per user (test_env.py:116-122)."""
+    return jax.random.randint(key, (cfg.num_users,), 0, cfg.num_channels)
+
+
+# ---------------------------------------------------------------------------
+# Internal building blocks
+# ---------------------------------------------------------------------------
+
+
+def _periodic_update(state: EnvState) -> EnvState:
+    """All vehicles refresh their own table entry and age the rest
+    (network.py:587-593 -> vehicle.py:56-70)."""
+    n = state.table_x.shape[0]
+    eye = jnp.eye(n, dtype=bool)
+    return state.replace(
+        table_x=jnp.where(eye, state.pos_x[:, None], state.table_x),
+        table_y=jnp.where(eye, state.pos_y[:, None], state.table_y),
+        table_seq=state.table_seq + eye.astype(state.table_seq.dtype),
+        table_age=jnp.where(eye, 0, state.table_age + 1),
+    )
+
+
+def _merge_tables(state: EnvState, rx_mask, tx_ids) -> EnvState:
+    """Each rx with rx_mask merges tx_ids[rx]'s live table row into its own,
+    entry-wise where the source sequence number is strictly newer
+    (vehicle.py:35-47; live-table aliasing per vehicle.py:61)."""
+    src_seq = state.table_seq[tx_ids]
+    newer = (src_seq > state.table_seq) & rx_mask[:, None]
+    return state.replace(
+        table_x=jnp.where(newer, state.table_x[tx_ids], state.table_x),
+        table_y=jnp.where(newer, state.table_y[tx_ids], state.table_y),
+        table_seq=jnp.where(newer, src_seq, state.table_seq),
+        table_age=jnp.where(newer, 0, state.table_age),
+    )
+
+
+def _closest_tx(D, tx_mask, comm_range):
+    """Per-receiver nearest in-range transmitter (network.py:378-398).
+
+    Returns (dist [N], tx_id [N], has [N]); dist is NO_TX_DIST and has is
+    False when no transmitter is within range.  First-occurrence argmin
+    reproduces the reference's strict-< scan over ascending user ids."""
+    cand = jnp.where(
+        tx_mask[None, :] & (D < comm_range), D,
+        jnp.asarray(NO_TX_DIST, D.dtype),
+    )
+    dist = cand.min(axis=1)
+    tx_id = cand.argmin(axis=1)
+    has = dist < NO_TX_DIST
+    return dist, tx_id, has
+
+
+def _norm_distance(pos_x, D):
+    """Distance between the (first) min-x and max-x vehicles
+    (network.py:225-246; argmin/argmax first-occurrence matches the
+    strict-< / strict-> scans)."""
+    return D[jnp.argmin(pos_x), jnp.argmax(pos_x)]
+
+
+def _collision_reward(cfg: EnvConfig, D, norm_d, tx_mask, tot, dtype):
+    """Shared reward for >=2 colliders on one channel (test_env.py:170-197
+    designs 1-5; weight semantics network.py:273-300)."""
+    tot_f = tot.astype(dtype)
+    pair = tx_mask[:, None] & tx_mask[None, :]
+    sum_d = jnp.sum(jnp.where(pair, D, 0)) / 2
+    npairs = (tot * (tot - 1) // 2).astype(dtype)
+    m = sum_d / npairs  # nan/inf when <2 colliders; always masked downstream
+    if cfg.congestion_test:
+        w = (m == norm_d).astype(dtype)
+    else:
+        w = (m > cfg.communication_range).astype(dtype)
+    design = cfg.reward_design
+    if design == 1:
+        return -(1.0 - w / tot_f)
+    if design == 2:
+        return jnp.where(tot == 2, 2.0 * w - tot_f, -tot_f)
+    if design == 3:
+        return -jnp.exp(1.0 - 1.0 / tot_f)
+    if design == 4:
+        return 1.0 / tot_f
+    if design == 5:
+        return jnp.where((tot == 2) & (w == 1.0), 0.0, -1.0)
+    raise ValueError(f"reward_design {design} undefined")
+
+
+def _advance_mobility(cfg: EnvConfig, state: EnvState, t, trace) -> EnvState:
+    """Modular x-advance or recorded-trace replay (network.py:189-206)."""
+    if not cfg.mobility:
+        return state
+    if trace is not None:
+        row = trace[t % trace.shape[0]][: cfg.num_users].astype(state.pos_x.dtype)
+        return state.replace(pos_x=row)
+    L = cfg.highway_length
+    new_x = jnp.mod(state.pos_x + state.direction * state.vel + L, L)
+    return state.replace(pos_x=new_x)
+
+
+def update_velocity(cfg: EnvConfig, state: EnvState, key) -> EnvState:
+    """Per-episode velocity kicks: +-0.55 with prob 1/3 each, clamped to
+    [1.1, 2.77] (network.py:208-223), active only under mobility_vary
+    (test_env.py:498-504)."""
+    if not cfg.mobility_vary:
+        return state
+    r = jax.random.randint(key, state.vel.shape, 1, 4)
+    vel = jnp.where(r == 1, jnp.minimum(state.vel + 0.55, 2.77), state.vel)
+    vel = jnp.where(r == 2, jnp.maximum(state.vel - 0.55, 1.1), vel)
+    return state.replace(vel=vel)
+
+
+# ---------------------------------------------------------------------------
+# Step flavors
+# ---------------------------------------------------------------------------
+
+
+def step_collision(cfg: EnvConfig, state: EnvState, actions, t, trace=None):
+    """``my_step`` semantics (test_env.py:124-266): per-channel collision
+    rewards shared among colliders, half-duplex observations, piggyback
+    merges from the closest transmitter, then mobility."""
+    st = cfg.state
+    if st.piggybacking:
+        raise NotImplementedError(
+            "piggybacking=True uses a data-dependent-shape observation "
+            "(test_env.py:241-254); supported by the NumPy oracle only"
+        )
+    n, c = cfg.num_users, cfg.num_channels
+    dtype = state.pos_x.dtype
+    acts = jax.nn.one_hot(actions, c, dtype=jnp.int32)  # [N, C]
+
+    if st.add_positional_dist_piggy:
+        state = _periodic_update(state)
+
+    D = pairwise_distances(state.pos_x, state.pos_y)
+    norm_d = _norm_distance(state.pos_x, D)
+    tx_counts = acts.sum(axis=0)  # [C]
+
+    rews = jnp.zeros((n,), dtype)
+    la = state.last_arrival
+    pf = state.pf_counter
+    obs_cols = []
+
+    for ch in range(c):
+        txm = acts[:, ch] == 1
+        tot = tx_counts[ch]
+        transmission = tot > 0
+        invoked = ~txm & transmission  # receivers that scan for a transmitter
+
+        rewards_ch = _collision_reward(cfg, D, norm_d, txm, tot, dtype).astype(dtype)
+        cd, cid, has = _closest_tx(D, txm, cfg.communication_range)
+
+        if st.type == 1:
+            rx_obs = jnp.where(invoked, jnp.asarray(1.0, dtype), 0)
+        else:
+            rx_obs = jnp.where(invoked, cd, 0)
+        obs_cols.append(jnp.where(txm, 0, rx_obs))
+
+        r_tx = jnp.where(tot > 1, rewards_ch, jnp.asarray(1.0, dtype))
+        rews = jnp.where(txm, r_tx, rews)
+        if cfg.proportional_fair:
+            coll = txm & (tot > 1)
+            rews = jnp.where(coll & (pf > PF_THRESHOLD),
+                             jnp.asarray(PF_PENALTY, dtype), rews)
+            pf = jnp.where(coll, pf + 1, jnp.where(txm & (tot == 1), 0, pf))
+
+        # find_closest_tx side effect: out-of-range (tx, rx) pairs reset to -1
+        # for every receiver that scanned (network.py:394).
+        oor = txm[:, None] & invoked[None, :] & (D >= cfg.communication_range)
+        la = jnp.where(oor, -1, la)
+
+        if st.add_positional_dist_piggy:
+            state = _merge_tables(state, invoked & has, cid)
+
+    obs = jnp.stack(obs_cols, axis=1)
+    state = state.replace(last_arrival=la, pf_counter=pf)
+    state = _advance_mobility(cfg, state, t, trace)
+    return state, obs, rews
+
+
+def step_design(cfg: EnvConfig, state: EnvState, actions, t, trace=None):
+    """``my_step_design`` semantics (test_env.py:269-349): rewards scoped to
+    the transmitters within 2x communication range of each collider."""
+    st = cfg.state
+    n, c = cfg.num_users, cfg.num_channels
+    dtype = state.pos_x.dtype
+    acts = jax.nn.one_hot(actions, c, dtype=jnp.int32)
+
+    if st.add_positional_dist_piggy:
+        state = _periodic_update(state)
+
+    D = pairwise_distances(state.pos_x, state.pos_y)
+    two_r = 2 * cfg.communication_range
+
+    rews = jnp.zeros((n,), dtype)
+    la = state.last_arrival
+    obs_cols = []
+
+    for ch in range(c):
+        txm = acts[:, ch] == 1
+        tot = txm.sum()
+        invoked = ~txm & (tot > 0)
+
+        # comm_range_tx per transmitter u: itself + other transmitters
+        # within 2R (test_env.py:327-334).
+        near = txm[None, :] & (D < two_r) & ~jnp.eye(n, dtype=bool)
+        cnt = 1 + near.sum(axis=1)
+        # cnt==2: the single in-range partner's distance; weight per
+        # network.py:135-157 (always 0 on this domain, computed honestly).
+        pair_d = jnp.sum(jnp.where(near, D, 0), axis=1)
+        w2 = (pair_d > two_r).astype(dtype)
+        cnt_f = cnt.astype(dtype)
+        r_coll = jnp.where(cnt == 1, 1.0,
+                           jnp.where(cnt == 2, jnp.where(w2 == 1.0, 0.0, -cnt_f),
+                                     -cnt_f))
+        r_tx = jnp.where(tot == 1, jnp.asarray(1.0, dtype), r_coll)
+        rews = jnp.where(txm, r_tx, rews)
+
+        obs_cols.append(jnp.where(txm, 0, jnp.where(invoked, 1.0, 0.0)).astype(dtype))
+
+        cd, cid, has = _closest_tx(D, txm, cfg.communication_range)
+        oor = txm[:, None] & invoked[None, :] & (D >= cfg.communication_range)
+        la = jnp.where(oor, -1, la)
+        if st.add_positional_dist_piggy:
+            state = _merge_tables(state, invoked & has, cid)
+
+    obs = jnp.stack(obs_cols, axis=1)
+    state = state.replace(last_arrival=la)
+    state = _advance_mobility(cfg, state, t, trace)
+    return state, obs, rews
+
+
+def step_channel(cfg: EnvConfig, state: EnvState, actions, t, trace=None):
+    """``my_step_ch`` semantics (test_env.py:351-443): PRR-style reward --
+    the fraction of in-range receivers whose nearest transmitter is you --
+    mapped through reward designs 2/3/4, plus packet-arrival bookkeeping."""
+    st = cfg.state
+    n, c = cfg.num_users, cfg.num_channels
+    dtype = state.pos_x.dtype
+    acts = jax.nn.one_hot(actions, c, dtype=jnp.int32)
+
+    if st.add_positional_dist_piggy:
+        state = _periodic_update(state)
+
+    D = pairwise_distances(state.pos_x, state.pos_y)
+    R = cfg.communication_range
+
+    rews = jnp.zeros((n,), dtype)
+    la = state.last_arrival
+    obs_cols = []
+
+    for ch in range(c):
+        txm = acts[:, ch] == 1
+        tot = txm.sum()
+        invoked = ~txm & (tot > 0)
+
+        cd, cid, has = _closest_tx(D, txm, R)
+
+        # PRR per transmitter (test_env.py:384-404): receivers = non-tx in
+        # range; received iff the receiver's nearest in-range tx is you.
+        aud = txm[:, None] & (~txm)[None, :] & (D < R)  # [tx, rx]
+        in_range = aud.sum(axis=1)
+        received = (aud & has[None, :] & (cid[None, :] == jnp.arange(n)[:, None])).sum(axis=1)
+        prr = jnp.where(in_range > 0,
+                        received.astype(dtype) / in_range.astype(dtype),
+                        jnp.asarray(1.0, dtype))
+
+        design = cfg.reward_design
+        if design == 3:
+            r_coll, r_solo = 1.0 - jnp.exp(1.0 - prr), 1.0
+        elif design == 4:
+            r_coll, r_solo = -jnp.exp(1.0 - prr), float(jnp.e)
+        elif design == 2:
+            r_coll, r_solo = -(1.0 - prr), 1.0
+        else:
+            raise ValueError("my_step_ch defined for reward designs 2/3/4 only")
+        r_tx = jnp.where(tot > 1, r_coll, jnp.asarray(r_solo, dtype))
+        rews = jnp.where(txm, r_tx, rews)
+
+        obs_cols.append(jnp.where(txm, 0, jnp.where(invoked, 1.0, 0.0)).astype(dtype))
+
+        oor = txm[:, None] & invoked[None, :] & (D >= R)
+        la = jnp.where(oor, -1, la)
+        # arrival slot for each receiver's accepted transmitter (test_env.py:434-436)
+        arr = (invoked & has)[None, :] & (cid[None, :] == jnp.arange(n)[:, None])
+        la = jnp.where(arr, jnp.asarray(t, la.dtype), la)
+        if st.add_positional_dist_piggy:
+            state = _merge_tables(state, invoked & has, cid)
+
+    obs = jnp.stack(obs_cols, axis=1)
+    state = state.replace(last_arrival=la)
+    state = _advance_mobility(cfg, state, t, trace)
+    return state, obs, rews
+
+
+def get_step_fn(cfg: EnvConfig, enable_channel: bool = False, design: bool = False):
+    """Pick the step flavor the driver would use (main_test.py:143-147)."""
+    if enable_channel:
+        return step_channel
+    if design:
+        return step_design
+    return step_collision
+
+
+# ---------------------------------------------------------------------------
+# Observation / state assembly
+# ---------------------------------------------------------------------------
+
+
+def _piggy_geometry(state: EnvState):
+    """Signed distances from each vehicle's table entries to its own current
+    position (network.py:538-558): d[u, o] uses u's *stored* position of o
+    against u's *live* position; age gate < 20."""
+    dx = state.table_x - state.pos_x[:, None]
+    dy = state.table_y - state.pos_y[:, None]
+    d = jnp.sqrt(dx * dx + dy * dy)
+    sign = jnp.where(dx > 0.0, 1.0, -1.0).astype(d.dtype)
+    n = d.shape[0]
+    fresh = (state.table_age < STALENESS_CUTOFF) & ~jnp.eye(n, dtype=bool)
+    return d, sign, fresh
+
+
+def positional_dist_exact(cfg: EnvConfig, state: EnvState):
+    """Sorted signed true distances / max distance, per user
+    (network.py:409-430). [N, N-1]."""
+    n = cfg.num_users
+    D = pairwise_distances(state.pos_x, state.pos_y)
+    signed = D * signed_dx(state.pos_x)
+    eye = jnp.eye(n, dtype=bool)
+    big = jnp.asarray(jnp.finfo(D.dtype).max, D.dtype)
+    sorted_signed = jnp.sort(jnp.where(eye, big, signed), axis=1)[:, : n - 1]
+    max_d = jnp.max(jnp.where(eye, -big, D), axis=1)
+    return sorted_signed / max_d[:, None]
+
+
+def positional_dist_piggy_type1(cfg: EnvConfig, state: EnvState):
+    """Inf-norm-normalized weighted histogram over [-1, 1]
+    (network.py:432-471). [N, num_bins]."""
+    bins = cfg.state.num_bins
+    d, sign, fresh = _piggy_geometry(state)
+    signed = d * sign
+    inf_norm = jnp.max(jnp.where(fresh, jnp.abs(signed), 0), axis=1)
+    normed = signed / jnp.where(inf_norm > 0, inf_norm, 1)[:, None]
+    hist = masked_weighted_histogram(normed, normed, fresh, -1.0, 1.0, bins)
+    any_fresh = fresh.any(axis=1, keepdims=True)
+    return jnp.where(any_fresh, hist, 0)
+
+
+def positional_dist_piggy_type2(cfg: EnvConfig, state: EnvState):
+    """Count histogram over +-bin_range divided by visible-neighbor count
+    (network.py:473-513) -- the toy config's view-based positional
+    distribution. [N, num_bins]."""
+    bins, rng = cfg.state.num_bins, cfg.bin_range
+    d, sign, fresh = _piggy_geometry(state)
+    valid = fresh & (d < rng)
+    hist = masked_count_histogram(d * sign, valid, -float(rng), float(rng), bins)
+    cnt = valid.sum(axis=1).astype(hist.dtype)
+    return jnp.where(cnt[:, None] > 0, hist / jnp.where(cnt, cnt, 1)[:, None], 0)
+
+
+def obtain_state(cfg: EnvConfig, state: EnvState, obs, actions, rewards,
+                 episode=0, epsilon=1.0):
+    """Per-user state-vector assembly in the reference's field order
+    (test_env.py:527-583). [N, state_space]."""
+    st = cfg.state
+    n = cfg.num_users
+    dtype = state.pos_x.dtype
+    parts = []
+    if st.add_action:
+        if st.action_index == "binary":
+            parts.append(jax.nn.one_hot(actions, cfg.num_channels, dtype=dtype))
+        elif st.action_index == "real":
+            parts.append(actions.astype(dtype)[:, None])
+        else:
+            raise ValueError("bad action_index")
+    if st.add_channel_obs:
+        parts.append(obs.astype(dtype))
+    if st.add_positional_dist:
+        parts.append(positional_dist_exact(cfg, state))
+    if st.add_positional_dist_piggy:
+        if st.add_positional_dist_type == 1:
+            parts.append(positional_dist_piggy_type1(cfg, state))
+        elif st.add_positional_dist_type == 2:
+            parts.append(positional_dist_piggy_type2(cfg, state))
+        else:
+            raise ValueError("bad add_positional_dist_type")
+    if st.add_reward:
+        parts.append(rewards.astype(dtype)[:, None])
+    if st.add_index:
+        parts.append((jnp.arange(n, dtype=dtype) + 1)[:, None])
+    if st.add_position:
+        parts.append(
+            jnp.stack(
+                [state.pos_x / cfg.highway_length, state.pos_y / cfg.highway_height],
+                axis=1,
+            )
+        )
+    if st.add_velocity:
+        parts.append(state.vel[:, None])
+    if cfg.enable_fingerprint:
+        fp = jnp.stack(
+            [jnp.full((n,), episode, dtype), jnp.full((n,), epsilon, dtype)], axis=1
+        )
+        parts.append(fp)
+    return jnp.concatenate(parts, axis=1)
+
+
+def information_age(state: EnvState, t) -> jax.Array:
+    """Histogram of packet ages over in-coverage (tx, rx) pairs
+    (network.py:560-574). [IA_HORIZON] int32."""
+    n = state.last_arrival.shape[0]
+    valid = (state.last_arrival != -1) & ~jnp.eye(n, dtype=bool)
+    ia = t - state.last_arrival
+    contributes = valid & (ia < IA_HORIZON) & (ia >= 0)
+    onehot = (ia[..., None] == jnp.arange(IA_HORIZON)) & contributes[..., None]
+    return onehot.sum(axis=(0, 1)).astype(jnp.int32)
+
+
+def ia_penalty(ia_hist) -> jax.Array:
+    """Weighted information-age sum (reference utils/misc.py:1-12)."""
+    w = jnp.arange(1, ia_hist.shape[-1] + 1, dtype=jnp.float32)
+    return jnp.sum(ia_hist * w, axis=-1)

@@ -1,0 +1,238 @@
+"""Golden parity: the batched JAX env engine vs the NumPy oracle.
+
+The oracle (diral_tpu/envs/oracle.py) transliterates the reference
+environment semantics (reference envs/test_env.py, envs/network.py,
+envs/vehicle.py); these tests drive both engines step-for-step from
+identical topologies and action streams and demand bit-exact float64
+agreement on observations, rewards, state vectors, neighbor tables and
+information age.
+"""
+
+import dataclasses
+import random
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from diral_tpu.config import EnvConfig, StateConfig, toy_4ue_3r
+from diral_tpu.envs import oracle as onp
+from diral_tpu.envs import v2v_env as jenv
+
+F64 = jnp.float64
+
+
+def make_oracle(cfg, seed=0):
+    return onp.OracleEnv(cfg, np.random.RandomState(seed), random.Random(seed + 1))
+
+
+def jax_state_from_oracle(cfg, o):
+    return jenv.reset_from(cfg, o.pos_x, o.pos_y, o.vel, o.direction, dtype=F64)
+
+
+def rollout_compare(cfg, steps=60, seed=0, flavor="collision", rtol=0.0, atol=0.0,
+                    state_atol=0.0):
+    """Run oracle and JAX env in lockstep; compare everything each step."""
+    o = make_oracle(cfg, seed)
+    s = jax_state_from_oracle(cfg, o)
+    step_fn = {
+        "collision": jenv.step_collision,
+        "design": jenv.step_design,
+        "channel": jenv.step_channel,
+    }[flavor]
+    jit_step = jax.jit(step_fn, static_argnums=0)
+    jit_obtain = jax.jit(jenv.obtain_state, static_argnums=(0, 5, 6))
+    rng = np.random.RandomState(seed + 7)
+
+    for t in range(steps):
+        actions = rng.randint(0, cfg.num_channels, size=cfg.num_users)
+
+        if flavor == "collision":
+            obs_o, _, rew_o = o.my_step(actions, t)
+        elif flavor == "design":
+            obs_o, rew_o = o.my_step_design(actions, t)
+        else:
+            obs_o, rew_o = o.my_step_ch(actions, t)
+
+        s, obs_j, rew_j = jit_step(cfg, s, jnp.asarray(actions), t)
+
+        np.testing.assert_allclose(np.asarray(obs_j), obs_o, rtol=rtol, atol=atol,
+                                   err_msg=f"obs mismatch at t={t}")
+        np.testing.assert_allclose(np.asarray(rew_j), rew_o, rtol=rtol, atol=atol,
+                                   err_msg=f"rew mismatch at t={t}")
+
+        # world + table state
+        np.testing.assert_array_equal(np.asarray(s.pos_x), o.pos_x)
+        np.testing.assert_array_equal(np.asarray(s.table_seq), o.table_seq)
+        np.testing.assert_array_equal(np.asarray(s.table_age), o.table_age)
+        np.testing.assert_allclose(np.asarray(s.table_x), o.table_x, rtol=0, atol=0)
+        np.testing.assert_array_equal(np.asarray(s.last_arrival), o.last_arrival)
+
+        st_o = o.obtain_state(obs_o, actions, rew_o, episode_number=3, epsilon=0.5)
+        st_j = jit_obtain(cfg, s, obs_j, jnp.asarray(actions),
+                          jnp.asarray(rew_o), 3, 0.5)
+        np.testing.assert_allclose(np.asarray(st_j), st_o, rtol=rtol, atol=state_atol,
+                                   err_msg=f"state mismatch at t={t}")
+
+        ia_o = o.get_information_age(t)
+        ia_j = jenv.information_age(s, t)
+        np.testing.assert_array_equal(np.asarray(ia_j), ia_o)
+
+
+def test_toy_4ue_3r_bitexact():
+    """The flagship BASELINE config: 4 UE / 3 channels, reward design 2,
+    congestion weighting, type-2 piggy positional distribution."""
+    cfg = toy_4ue_3r().env
+    rollout_compare(cfg, steps=120, seed=0)
+
+
+def test_toy_multiple_seeds():
+    cfg = toy_4ue_3r().env
+    for seed in (1, 2, 3):
+        rollout_compare(cfg, steps=50, seed=seed)
+
+
+def test_more_users_channels():
+    cfg = dataclasses.replace(
+        toy_4ue_3r().env, num_users=7, num_channels=5, highway_length=300
+    )
+    rollout_compare(cfg, steps=60, seed=4)
+
+
+@pytest.mark.parametrize("design", [1, 2, 3, 4, 5])
+def test_reward_designs(design):
+    cfg = dataclasses.replace(toy_4ue_3r().env, reward_design=design)
+    # Design 3 rewards go through exp(); XLA's exp may differ from libm by 1 ULP.
+    tol = 1e-15 if design == 3 else 0.0
+    rollout_compare(cfg, steps=40, seed=10 + design, rtol=tol, atol=tol)
+
+
+def test_non_congestion_weighting():
+    """weight = avg collider distance > communication_range (network.py:291-295)."""
+    cfg = dataclasses.replace(
+        toy_4ue_3r().env, congestion_test=False, communication_range=30.0
+    )
+    rollout_compare(cfg, steps=40, seed=21)
+
+
+def test_state_type_1():
+    cfg = dataclasses.replace(
+        toy_4ue_3r().env,
+        state=dataclasses.replace(toy_4ue_3r().env.state, type=1),
+    )
+    rollout_compare(cfg, steps=40, seed=5)
+
+
+def test_design_step_parity():
+    cfg = dataclasses.replace(toy_4ue_3r().env, communication_range=40.0)
+    rollout_compare(cfg, steps=60, seed=6, flavor="design")
+
+
+@pytest.mark.parametrize("design", [2, 3, 4])
+def test_channel_step_parity(design):
+    cfg = dataclasses.replace(
+        toy_4ue_3r().env, reward_design=design, communication_range=60.0,
+        num_users=6, num_channels=4,
+    )
+    # Designs 3/4 rewards go through exp(); allow 1-ULP transcendental skew.
+    tol = 0.0 if design == 2 else 1e-15
+    rollout_compare(cfg, steps=60, seed=30 + design, flavor="channel",
+                    rtol=tol, atol=tol)
+
+
+def test_full_state_features():
+    """Every obtain_state feature toggle at once (except piggybacking)."""
+    base = toy_4ue_3r().env
+    cfg = dataclasses.replace(
+        base,
+        enable_fingerprint=True,
+        state=dataclasses.replace(
+            base.state,
+            add_reward=True,
+            add_index=True,
+            add_velocity=True,
+            add_position=True,
+            add_channel_obs=True,
+            add_positional_dist=True,
+        ),
+    )
+    o = make_oracle(cfg, 11)
+    assert cfg.state_space == 3 + 3 + 20 + 1 + 1 + 2 + 1 + 2 + (cfg.num_users - 1)
+    # add_position divides by a compile-time constant (highway_length); XLA
+    # strength-reduces that to multiply-by-reciprocal, 1 ULP off exact
+    # division.  All discrete/toy-path features remain bit-exact.
+    rollout_compare(cfg, steps=40, seed=11, atol=0, state_atol=1e-15)
+
+
+def test_type1_histogram_close():
+    """Type-1 weighted histogram: summation order differs from np.histogram's
+    sorted accumulation, so allow ULP-scale tolerance."""
+    base = toy_4ue_3r().env
+    cfg = dataclasses.replace(
+        base,
+        state=dataclasses.replace(base.state, add_positional_dist_type=1),
+    )
+    rollout_compare(cfg, steps=40, seed=12, atol=1e-12, state_atol=1e-12)
+
+
+def test_real_action_index():
+    base = toy_4ue_3r().env
+    cfg = dataclasses.replace(
+        base, state=dataclasses.replace(base.state, action_index="real")
+    )
+    assert cfg.state_space == 1 + 20
+    rollout_compare(cfg, steps=30, seed=13)
+
+
+def test_proportional_fair():
+    cfg = dataclasses.replace(toy_4ue_3r().env, proportional_fair=True)
+    rollout_compare(cfg, steps=80, seed=14)
+
+
+def test_trace_replay():
+    """Recorded-position replay path (network.py:171-199)."""
+    cfg = toy_4ue_3r().env
+    trace = np.random.RandomState(0).uniform(0, 100, size=(7, cfg.num_users))
+    o = make_oracle(cfg, 15)
+    o.load_trace(trace)
+    s = jax_state_from_oracle(cfg, o)
+    jt = jnp.asarray(trace, F64)
+    rng = np.random.RandomState(16)
+    for t in range(25):
+        actions = rng.randint(0, cfg.num_channels, size=cfg.num_users)
+        obs_o, _, rew_o = o.my_step(actions, t)
+        s, obs_j, rew_j = jenv.step_collision(cfg, s, jnp.asarray(actions), t, trace=jt)
+        np.testing.assert_array_equal(np.asarray(obs_j), obs_o)
+        np.testing.assert_array_equal(np.asarray(rew_j), rew_o)
+        np.testing.assert_array_equal(np.asarray(s.pos_x), o.pos_x)
+
+
+def test_sample_uniform():
+    cfg = toy_4ue_3r().env
+    acts = jenv.sample_actions(cfg, jax.random.PRNGKey(0))
+    assert acts.shape == (cfg.num_users,)
+    assert ((np.asarray(acts) >= 0) & (np.asarray(acts) < cfg.num_channels)).all()
+
+
+def test_vmap_batch_consistency():
+    """A vmapped batch of envs must agree with per-instance stepping."""
+    cfg = toy_4ue_3r().env
+    B = 8
+    oracles = [make_oracle(cfg, 100 + b) for b in range(B)]
+    states = [jax_state_from_oracle(cfg, o) for o in oracles]
+    batched = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    step_b = jax.jit(
+        jax.vmap(lambda s, a, t: jenv.step_collision(cfg, s, a, t)),
+        static_argnums=(),
+    )
+    rng = np.random.RandomState(17)
+    for t in range(20):
+        actions = rng.randint(0, cfg.num_channels, size=(B, cfg.num_users))
+        batched, obs_j, rew_j = step_b(
+            batched, jnp.asarray(actions), jnp.full((B,), t)
+        )
+        for b, o in enumerate(oracles):
+            obs_o, _, rew_o = o.my_step(actions[b], t)
+            np.testing.assert_array_equal(np.asarray(obs_j[b]), obs_o)
+            np.testing.assert_array_equal(np.asarray(rew_j[b]), rew_o)
