@@ -1,0 +1,164 @@
+"""Device-resident experience replay.
+
+Two reference replay designs, rebuilt as preallocated device arrays so the
+whole actor-learner loop stays inside one XLA program (no host crossings):
+
+* ``WindowReplay`` -- the DRQN driver's deque + contiguous-window sampler
+  (reference utils/memory.py:162-194 ``Memory``): a ring of full
+  (state, action, reward, next_state) environment slots; sampling draws
+  ``batch`` window *start* positions without replacement and returns
+  ``step`` consecutive slots per draw.  Deque order is preserved across
+  the ring wraparound by indexing relative to the oldest element.
+
+* ``TransitionReplay`` -- the PS-DQN numpy ring (reference
+  utils/memory.py:120-159 ``ReplayBuffer`` x5 parallel buffers:
+  state/action/reward/terminal/mask, algorithms/ps_dqn.py:150-155), with
+  ``index+1`` next-state sampling (ps_dqn.py:326-334).
+
+Both are flax pytrees; ``add``/``sample`` are pure functions usable inside
+``lax.scan`` bodies, and batched across env instances with ``vmap``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+def _uniform_without_replacement(key, valid_count, max_count: int, batch: int):
+    """Draw ``batch`` distinct indices uniformly from [0, valid_count).
+
+    Matches np.random.choice(replace=False) semantics (memory.py:184) under
+    a traced bound: random keys per slot, invalid slots pushed to +inf,
+    argsort prefix = uniform sample without replacement.  If
+    valid_count < batch the draw degrades to "all valid slots first"
+    (callers gate training on buffer fill, main_test.py:235)."""
+    scores = jax.random.uniform(key, (max_count,))
+    scores = jnp.where(jnp.arange(max_count) < valid_count, scores, jnp.inf)
+    return jnp.argsort(scores)[:batch]
+
+
+class WindowReplay(struct.PyTreeNode):
+    """Ring buffer over whole env slots with contiguous-window sampling."""
+
+    states: jax.Array       # [S, ...]
+    actions: jax.Array      # [S, ...]
+    rewards: jax.Array      # [S, ...]
+    next_states: jax.Array  # [S, ...]
+    ptr: jax.Array          # scalar int32: next write position
+    count: jax.Array        # scalar int32: filled slots (<= capacity)
+
+    @property
+    def capacity(self) -> int:
+        return self.states.shape[0]
+
+    @classmethod
+    def create(cls, capacity: int, state_shape, action_shape, reward_shape,
+               dtype=jnp.float32, action_dtype=jnp.int32) -> "WindowReplay":
+        return cls(
+            states=jnp.zeros((capacity, *state_shape), dtype),
+            actions=jnp.zeros((capacity, *action_shape), action_dtype),
+            rewards=jnp.zeros((capacity, *reward_shape), dtype),
+            next_states=jnp.zeros((capacity, *state_shape), dtype),
+            ptr=jnp.zeros((), jnp.int32),
+            count=jnp.zeros((), jnp.int32),
+        )
+
+    def add(self, state, action, reward, next_state) -> "WindowReplay":
+        """Append one slot, evicting the oldest when full (deque semantics,
+        memory.py:167-175)."""
+        i = self.ptr
+        return self.replace(
+            states=self.states.at[i].set(jnp.asarray(state, self.states.dtype)),
+            actions=self.actions.at[i].set(jnp.asarray(action, self.actions.dtype)),
+            rewards=self.rewards.at[i].set(jnp.asarray(reward, self.rewards.dtype)),
+            next_states=self.next_states.at[i].set(
+                jnp.asarray(next_state, self.next_states.dtype)
+            ),
+            ptr=(i + 1) % self.capacity,
+            count=jnp.minimum(self.count + 1, self.capacity),
+        )
+
+    def _ring_index(self, deque_idx):
+        """Map deque position (0 = oldest) to ring position."""
+        oldest = (self.ptr - self.count) % self.capacity
+        return (oldest + deque_idx) % self.capacity
+
+    def sample_windows(self, key, batch: int, step: int):
+        """batch random contiguous windows of ``step`` slots
+        (memory.py:177-194: starts drawn from arange(len - step) without
+        replacement).  Returns dict of [batch, step, ...] arrays."""
+        starts = _uniform_without_replacement(
+            key, self.count - step, self.capacity, batch
+        )
+        idx = self._ring_index(starts[:, None] + jnp.arange(step)[None, :])
+        return {
+            "states": self.states[idx],
+            "actions": self.actions[idx],
+            "rewards": self.rewards[idx],
+            "next_states": self.next_states[idx],
+        }
+
+
+class TransitionReplay(struct.PyTreeNode):
+    """PS-DQN-style flat transition ring with mask/terminal channels."""
+
+    states: jax.Array     # [S, D]
+    actions: jax.Array    # [S]
+    rewards: jax.Array    # [S]
+    terminals: jax.Array  # [S] bool
+    masks: jax.Array      # [S] float (0 = padding, ps_dqn.py:155)
+    head: jax.Array       # scalar int32
+    count: jax.Array      # scalar int32
+
+    @property
+    def capacity(self) -> int:
+        return self.states.shape[0]
+
+    @classmethod
+    def create(cls, capacity: int, state_dim: int, dtype=jnp.float32) -> "TransitionReplay":
+        return cls(
+            states=jnp.zeros((capacity, state_dim), dtype),
+            actions=jnp.zeros((capacity,), jnp.int32),
+            rewards=jnp.zeros((capacity,), dtype),
+            terminals=jnp.zeros((capacity,), bool),
+            masks=jnp.zeros((capacity,), dtype),
+            head=jnp.zeros((), jnp.int32),
+            count=jnp.zeros((), jnp.int32),
+        )
+
+    def put(self, states, actions, rewards, terminals, masks) -> "TransitionReplay":
+        """Batch-append ``n`` transitions with wraparound (memory.py:127-145).
+        n is static (the leading dim of the inputs).
+
+        Deviation: on a wrapping put the reference sets ``head = split``
+        (memory.py:144), which makes the next put overwrite the data it just
+        wrote at the buffer start -- a plain bug in (unreachable, base.py-less)
+        code.  Here head advances correctly: ``head = (head + n) % capacity``."""
+        n = states.shape[0]
+        idx = (self.head + jnp.arange(n)) % self.capacity
+        return self.replace(
+            states=self.states.at[idx].set(jnp.asarray(states, self.states.dtype)),
+            actions=self.actions.at[idx].set(jnp.asarray(actions, self.actions.dtype)),
+            rewards=self.rewards.at[idx].set(jnp.asarray(rewards, self.rewards.dtype)),
+            terminals=self.terminals.at[idx].set(jnp.asarray(terminals, bool)),
+            masks=self.masks.at[idx].set(jnp.asarray(masks, self.masks.dtype)),
+            head=(self.head + n) % self.capacity,
+            count=jnp.minimum(self.count + n, self.capacity),
+        )
+
+    def sample(self, key, batch: int) -> dict[str, Any]:
+        """Uniform random transitions with their successors
+        (ps_dqn.py:326-334: index ~ choice(len - 1), next = index + 1)."""
+        idx = jax.random.randint(key, (batch,), 0, jnp.maximum(self.count - 1, 1))
+        return {
+            "states": self.states[idx],
+            "actions": self.actions[idx],
+            "rewards": self.rewards[idx],
+            "terminals": self.terminals[idx],
+            "masks": self.masks[idx],
+            "next_states": self.states[(idx + 1) % self.capacity],
+        }

@@ -1,0 +1,212 @@
+"""Q-value networks: the DRQN LSTM net, feedforward MLP nets (with dueling
+heads), and the PS-DRQN dense->GRU net.
+
+Architectural parity:
+
+* ``drqn`` -- BasicLSTMCell(layers[0]) over the history window, last-step
+  output -> dense(layers[1]) + relu + layer_norm -> linear head
+  (reference algorithms/drl_drqn.py:109-155, LSTM branch).  The MLP branch
+  is dense+relu+layer_norm stacks with a linear head (same function,
+  else-branch).
+* ``ps_dqn`` -- 1-2 dense layers (relu or linear) with optional dueling
+  value/advantage heads, ``q = v + a - mean(a)``
+  (reference algorithms/ps_dqn.py:158-198).
+* ``ps_drqn`` -- 1-2 dense relu layers -> GRU -> linear head; the dueling
+  variant branches off the pre-RNN features as in the reference
+  (algorithms/ps_drqn.py:119-166, where dueling heads read ``dense``, not
+  the RNN output -- reproduced as-is).
+
+Initialization defaults to glorot-uniform / zero-bias (TPU-sane);
+``init_scheme="reference"`` reproduces the reference MLP's U[0,1) weights
+and 0.1 biases (drl_drqn.py:124-147) for faithfulness experiments.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from diral_tpu.config import AgentConfig
+from diral_tpu.models.recurrent import (
+    gru_init,
+    gru_scan,
+    gru_cell,
+    lstm_init,
+    lstm_scan,
+)
+
+
+def _glorot(key, shape, dtype):
+    lim = jnp.sqrt(6.0 / (shape[0] + shape[1])).astype(dtype)
+    return jax.random.uniform(key, shape, dtype, -lim, lim)
+
+
+def dense_init(key, in_dim, out_dim, dtype=jnp.float32, scheme="glorot"):
+    if scheme == "reference":
+        # tf.random_uniform default U[0,1) weights, 0.1 bias (drl_drqn.py:124-147)
+        w = jax.random.uniform(key, (in_dim, out_dim), dtype, 0.0, 1.0)
+        b = jnp.full((out_dim,), 0.1, dtype)
+    else:
+        w = _glorot(key, (in_dim, out_dim), dtype)
+        b = jnp.zeros((out_dim,), dtype)
+    return {"w": w, "b": b}
+
+
+def dense(params, x):
+    return x @ params["w"] + params["b"]
+
+
+def layer_norm_init(dim, dtype=jnp.float32):
+    return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+
+def layer_norm(params, x, eps=1e-6):
+    mean = x.mean(axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    return y * params["scale"] + params["bias"]
+
+
+# ---------------------------------------------------------------------------
+# DRQN net (the flagship: LSTM over the history window)
+# ---------------------------------------------------------------------------
+
+
+def drqn_init(key, state_dim: int, action_dim: int, cfg: AgentConfig,
+              dtype=jnp.float32, scheme="glorot"):
+    layers = cfg.network.layers
+    keys = jax.random.split(key, 4)
+    if cfg.network.use_lstm_input:
+        params = {"lstm": lstm_init(keys[0], state_dim, layers[0], dtype)}
+        feat_in = layers[0]
+    else:
+        params = {
+            "fc1": dense_init(keys[0], state_dim, layers[0], dtype, scheme),
+            "ln1": layer_norm_init(layers[0], dtype),
+        }
+        feat_in = layers[0]
+    params["fc2"] = dense_init(keys[1], feat_in, layers[1], dtype, scheme)
+    params["ln2"] = layer_norm_init(layers[1], dtype)
+    if len(layers) == 3:
+        params["fc3"] = dense_init(keys[2], layers[1], layers[2], dtype, scheme)
+        params["ln3"] = layer_norm_init(layers[2], dtype)
+        params["head"] = dense_init(keys[3], layers[2], action_dim, dtype, scheme)
+    else:
+        params["head"] = dense_init(keys[3], layers[1], action_dim, dtype, scheme)
+    return params
+
+
+def drqn_apply(params, x, cfg: AgentConfig):
+    """x: [B, T, D] (LSTM path) or [B, D] (MLP path) -> Q [B, A]."""
+    if cfg.network.use_lstm_input:
+        _, hs = lstm_scan(params["lstm"], x)
+        h = hs[:, -1, :]
+    else:
+        h = layer_norm(params["ln1"], jax.nn.relu(dense(params["fc1"], x)))
+    h = layer_norm(params["ln2"], jax.nn.relu(dense(params["fc2"], h)))
+    if "fc3" in params:
+        h = layer_norm(params["ln3"], jax.nn.relu(dense(params["fc3"], h)))
+    return dense(params["head"], h)
+
+
+# ---------------------------------------------------------------------------
+# PS-DQN feedforward net (optional dueling)
+# ---------------------------------------------------------------------------
+
+
+def ps_dqn_init(key, state_dim: int, action_dim: int, cfg: AgentConfig,
+                dtype=jnp.float32):
+    layers = cfg.network.layers
+    keys = jax.random.split(key, 4)
+    params = {"fc1": dense_init(keys[0], state_dim, layers[0], dtype)}
+    feat = layers[0]
+    if len(layers) >= 2:
+        params["fc2"] = dense_init(keys[1], feat, layers[1], dtype)
+        feat = layers[1]
+    if cfg.network.use_dueling:
+        params["value"] = dense_init(keys[2], feat, 1, dtype)
+        adv = dense_init(keys[3], feat, action_dim, dtype)
+        del adv["b"]  # advantage head has no bias (ps_dqn.py:191-192)
+        params["advantage"] = adv
+    else:
+        params["head"] = dense_init(keys[2], feat, action_dim, dtype)
+    return params
+
+
+def ps_dqn_apply(params, x, cfg: AgentConfig):
+    act = (lambda v: v) if cfg.network.activation == "Linear" else jax.nn.relu
+    h = act(dense(params["fc1"], x))
+    if "fc2" in params:
+        h = act(dense(params["fc2"], h))
+    if cfg.network.use_dueling:
+        v = dense(params["value"], h)
+        a = h @ params["advantage"]["w"]
+        return v + a - a.mean(axis=-1, keepdims=True)
+    return dense(params["head"], h)
+
+
+# ---------------------------------------------------------------------------
+# PS-DRQN net (dense -> GRU -> head), with carried hidden state for inference
+# ---------------------------------------------------------------------------
+
+
+def ps_drqn_init(key, state_dim: int, action_dim: int, cfg: AgentConfig,
+                 dtype=jnp.float32):
+    layers = cfg.network.layers
+    keys = jax.random.split(key, 5)
+    params = {"fc1": dense_init(keys[0], state_dim, layers[0], dtype)}
+    feat = layers[0]
+    if len(layers) >= 2:
+        params["fc2"] = dense_init(keys[1], feat, layers[1], dtype)
+        feat = layers[1]
+    params["gru"] = gru_init(keys[2], feat, feat, dtype)
+    if cfg.network.use_dueling:
+        params["value"] = dense_init(keys[3], feat, 1, dtype)
+        adv = dense_init(keys[4], feat, action_dim, dtype)
+        del adv["b"]
+        params["advantage"] = adv
+    else:
+        params["head"] = dense_init(keys[3], feat, action_dim, dtype)
+    return params
+
+
+def _ps_drqn_features(params, x):
+    h = jax.nn.relu(dense(params["fc1"], x))
+    if "fc2" in params:
+        h = jax.nn.relu(dense(params["fc2"], h))
+    return h
+
+
+def ps_drqn_hidden_size(params) -> int:
+    return params["gru"]["wc"].shape[1]
+
+
+def ps_drqn_apply_seq(params, x, cfg: AgentConfig, h0=None):
+    """x: [B, T, D] -> (Q [B*T, A], final hidden [B, H]).  Matches the
+    reference's flatten-then-reshape unroll (ps_drqn.py:146-162)."""
+    feats = _ps_drqn_features(params, x)
+    hN, hs = gru_scan(params["gru"], feats, h0)
+    flat = hs.reshape(-1, hs.shape[-1])
+    if cfg.network.use_dueling:
+        # Reference dueling reads the pre-RNN dense features (ps_drqn.py:155-160).
+        dflat = feats.reshape(-1, feats.shape[-1])
+        v = dense(params["value"], dflat)
+        a = dflat @ params["advantage"]["w"]
+        q = v + a - a.sum(axis=-1, keepdims=True)
+    else:
+        q = dense(params["head"], flat)
+    return q, hN
+
+
+def ps_drqn_apply_step(params, x, h, cfg: AgentConfig):
+    """Single inference step with carried per-agent hidden state
+    (ps_drqn.py:195-231). x [B, D], h [B, H] -> (Q [B, A], new h)."""
+    feats = _ps_drqn_features(params, x)
+    new_h, _ = gru_cell(params["gru"], h, feats)
+    if cfg.network.use_dueling:
+        v = dense(params["value"], feats)
+        a = feats @ params["advantage"]["w"]
+        q = v + a - a.sum(axis=-1, keepdims=True)
+    else:
+        q = dense(params["head"], new_h)
+    return q, new_h

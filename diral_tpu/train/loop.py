@@ -1,0 +1,269 @@
+"""The jitted actor-learner training loop.
+
+The reference driver (reference main_test.py:14-265 ``marl_test``) runs one
+Python iteration per time slot with >= N+2 host<->device crossings (one
+``sess.run`` per agent per slot plus train calls).  Here the *entire* slot
+-- per-agent inference, action selection, env step, state assembly, reward
+shaping, replay insert, and the episodic train call -- is one ``lax.scan``
+body compiled once by XLA; a full 250k-slot run is a single device program
+with zero host round-trips.
+
+Driver semantics preserved (each cited):
+
+* warmup step + pretrain phase of ``pretrain_length*step_size*5`` slots
+  using the design-step env flavor and storing the *stale* warmup rewards
+  in every pretrain transition (main_test.py:89-114 -- the reference stores
+  ``rews`` from before the loop, not the fresh ``reward``; reproduced);
+* slot-indexed action modes: random < ``explore`` <= eps-greedy <
+  ``greedy`` <= pure greedy (main_test.py:127-136);
+* epsilon decays once per episode advance (policies.py:45-63), with
+  episode = t // episode_interval;
+* reward shaping order per user: ia-averaging sign penalty, ia repeat
+  penalty, global-reward averaging (main_test.py:153-206, in that order);
+* replay add of (state, action, shaped_reward, next_state)
+  (main_test.py:215) and history window maintenance (main_test.py:219);
+* train-after-episode cadence: at episode end when t > batch_size + 10
+  (main_test.py:226-236); per-slot cadence gated by ``training_stop``
+  otherwise (main_test.py:222-224);  n_batch gradient steps + target sync
+  inside the train call (drl_drqn.py:199-265).
+
+Vectorization beyond the reference: ``num_envs`` env instances step in
+lockstep feeding one shared learner (CTDE preserved -- the policy is
+vmapped over the agent axis and the env axis); windows are sampled
+uniformly across envs.  ``num_envs=1`` reproduces the reference exactly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from diral_tpu.config import ExperimentConfig
+from diral_tpu.agents import drqn
+from diral_tpu.agents import policies as pol
+from diral_tpu.agents.replay import WindowReplay, _uniform_without_replacement
+from diral_tpu.envs import v2v_env as E
+
+
+class TrainCarry(struct.PyTreeNode):
+    env_state: E.EnvState          # batched [B, ...]
+    history: jax.Array             # [B, T, N, D]
+    state: jax.Array               # [B, N, D]
+    replay: WindowReplay           # batched [B, S, ...]
+    learner: drqn.DRQNLearner      # shared across envs
+    eps_state: pol.EpsGreedyState
+    sum_ia_prev: jax.Array         # [B]
+    ia_counter: jax.Array          # [B, N] int32
+    prev_actions: jax.Array        # [B, N] int32
+    key: jax.Array
+
+
+def sample_windows_cross_env(replay: WindowReplay, key, batch: int, step: int):
+    """Uniform window sample across the env axis: flatten the (env, start)
+    space, draw without replacement, gather windows from the owning env.
+    With one env this reduces to the reference sampler (memory.py:177-194)."""
+    B, S = replay.states.shape[0], replay.states.shape[1]
+    valid_per_env = replay.count[0] - step  # lockstep: all counts equal
+    k1, = jax.random.split(key, 1)
+    scores = jax.random.uniform(k1, (B * S,))
+    col = jnp.arange(B * S) % S
+    scores = jnp.where(col < valid_per_env, scores, jnp.inf)
+    flat = jnp.argsort(scores)[:batch]
+    env_idx, start = flat // S, flat % S
+    oldest = (replay.ptr[0] - replay.count[0]) % S
+    idx = (oldest + start[:, None] + jnp.arange(step)[None, :]) % S
+    take = lambda arr: arr[env_idx[:, None], idx]
+    return {
+        "states": take(replay.states),
+        "actions": take(replay.actions),
+        "rewards": take(replay.rewards),
+        "next_states": take(replay.next_states),
+    }
+
+
+def make_train_functions(cfg: ExperimentConfig, dtype=jnp.float32):
+    """Build (init_fn, slot_fn, run_fn) for the experiment config."""
+    env_cfg = cfg.env
+    acfg = cfg.agent
+    B = cfg.engine.num_envs
+    N, C, D = env_cfg.num_users, env_cfg.num_channels, env_cfg.state_space
+    T = acfg.step_size
+    step_env = E.step_channel if cfg.enable_channel else E.step_collision
+
+    v_reset = jax.vmap(lambda k: E.reset(env_cfg, k, dtype))
+    v_step = jax.vmap(lambda s, a, t: step_env(env_cfg, s, a, t), in_axes=(0, 0, None))
+    v_step_design = jax.vmap(
+        lambda s, a, t: E.step_design(env_cfg, s, a, t), in_axes=(0, 0, None)
+    )
+    v_obtain = jax.vmap(
+        lambda s, o, a, r, ep, eps: E.obtain_state(env_cfg, s, o, a, r, ep, eps),
+        in_axes=(0, 0, 0, 0, None, None),
+    )
+    v_sample = jax.vmap(lambda k: E.sample_actions(env_cfg, k))
+    v_add = jax.vmap(WindowReplay.add)
+    v_ia = jax.vmap(E.information_age, in_axes=(0, None))
+
+    def qvalues(learner, history):
+        """history [B, T, N, D] -> Q [B, N, A]: one forward for all agents of
+        all envs (the CTDE parameter-sharing win; replaces the reference's
+        per-user sess.run loop, main_test.py:127-136)."""
+        from diral_tpu.models import qnets
+
+        if acfg.network.use_lstm_input:
+            x = jnp.transpose(history, (0, 2, 1, 3)).reshape(B * N, T, D)
+        else:
+            x = history[:, -1].reshape(B * N, D)
+        q = qnets.drqn_apply(learner.params, x, acfg)
+        return q.reshape(B, N, -1)
+
+    def init_carry(key) -> TrainCarry:
+        k_env, k_act, k_pre, k_rest = jax.random.split(key, 4)
+        env_state = v_reset(jax.random.split(k_env, B))
+
+        # Warmup step (main_test.py:89-94): random action, collision step,
+        # first state; its rewards are the stale ones reused all pretrain.
+        a0 = v_sample(jax.random.split(k_act, B))
+        env_state, obs0, rews0 = v_step(env_state, a0, 0)
+        state0 = v_obtain(env_state, obs0, a0, rews0, 0, float(acfg.eps_init))
+
+        replay = jax.vmap(
+            lambda _: WindowReplay.create(
+                cfg.memory_size, (N, D), (N,), (N,), dtype
+            )
+        )(jnp.arange(B))
+
+        history = jnp.zeros((B, T, N, D), dtype)
+
+        def pretrain_body(carry, k):
+            env_state, state, replay, history = carry
+            acts = v_sample(jax.random.split(k, B))
+            env_state, obs, _ = v_step_design(env_state, acts, 0)
+            nxt = v_obtain(env_state, obs, acts, rews0, 0, float(acfg.eps_init))
+            replay = v_add(replay, state, acts, rews0, nxt)
+            history = jnp.roll(history, -1, axis=1).at[:, -1].set(nxt)
+            return (env_state, nxt, replay, history), None
+
+        n_pre = cfg.pretrain_length * cfg.step_size * 5
+        (env_state, state, replay, history), _ = jax.lax.scan(
+            pretrain_body, (env_state, state0, replay, history),
+            jax.random.split(k_pre, n_pre),
+        )
+
+        learner = drqn.init_learner(k_rest, D, C, acfg, dtype)
+        return TrainCarry(
+            env_state=env_state,
+            history=history,
+            state=state,
+            replay=replay,
+            learner=learner,
+            eps_state=pol.eps_greedy_init(acfg.eps_init),
+            sum_ia_prev=jnp.zeros((B,), dtype),
+            ia_counter=jnp.zeros((B, N), jnp.int32),
+            prev_actions=jnp.full((B, N), -1, jnp.int32),
+            key=key,
+        )
+
+    def train_call(learner, replay, key, t):
+        step = T if acfg.network.use_lstm_input else 1
+        for _ in range(acfg.n_batch):
+            key, kb = jax.random.split(key)
+            batch = sample_windows_cross_env(replay, kb, acfg.batch_size, step)
+            learner, loss = drqn.train_on_batch(learner, batch, acfg, N)
+        sync = (t + 1) % acfg.target_update == 0
+        target = jax.tree.map(
+            lambda tp, p: jnp.where(sync, p, tp), learner.target_params,
+            learner.params,
+        )
+        return learner.replace(target_params=target), loss
+
+    def slot_step(carry: TrainCarry, t):
+        key, k_act, k_train = jax.random.split(carry.key, 3)
+        episode = (t // cfg.episode_interval).astype(jnp.int32)
+
+        eps_state = pol.eps_greedy_update(carry.eps_state, episode, acfg.eps_decay)
+        q = qvalues(carry.learner, carry.history)  # [B, N, A]
+        actions = jax.vmap(
+            lambda k, qb: pol.driver_mode_actions(
+                k, qb, eps_state, t, cfg.explore, cfg.greedy
+            )
+        )(jax.random.split(k_act, B), q).astype(jnp.int32)
+
+        env_state, obs, rewards = v_step(carry.env_state, actions, t)
+
+        ia_hist = v_ia(env_state, t)                        # [B, IA]
+        ia_sum = E.ia_penalty(ia_hist).astype(dtype)        # [B]
+
+        next_state = v_obtain(env_state, obs, actions, rewards, episode,
+                              eps_state.eps)
+
+        sum_r = rewards.sum(axis=1)                         # [B] raw
+        shaped = rewards
+        sum_ia_prev = carry.sum_ia_prev
+        if cfg.ia_averaging:
+            delta = jnp.where(ia_sum > sum_ia_prev, -1.0,
+                              jnp.where(ia_sum < sum_ia_prev, 1.0, 0.0))
+            shaped = shaped + delta[:, None].astype(dtype)
+            sum_ia_prev = ia_sum
+        ia_counter, prev_actions = carry.ia_counter, carry.prev_actions
+        if cfg.ia_penalty_enable:
+            repeat = (shaped < 1) & (actions == prev_actions)
+            ia_counter = jnp.where(repeat, ia_counter + 1, 0)
+            shaped = jnp.where(ia_counter > cfg.ia_penalty_threshold,
+                               jnp.asarray(cfg.ia_penalty_value, dtype), shaped)
+        prev_actions = actions
+        if cfg.global_reward_avg:
+            shaped = shaped + (sum_r / N)[:, None]
+
+        replay = v_add(carry.replay, carry.state, actions, shaped, next_state)
+        history = jnp.roll(carry.history, -1, axis=1).at[:, -1].set(next_state)
+
+        if cfg.train_after_episode:
+            do_train = (
+                (t % cfg.episode_interval == cfg.episode_interval - 1)
+                & (t > acfg.batch_size + 10)
+            )
+        else:
+            do_train = t < cfg.training_stop
+        if not cfg.training:
+            do_train = jnp.asarray(False)
+
+        learner, loss = jax.lax.cond(
+            do_train,
+            lambda l: train_call(l, replay, k_train, t),
+            lambda l: (l, jnp.zeros((), jnp.float32)),
+            carry.learner,
+        )
+
+        carry = TrainCarry(
+            env_state=env_state, history=history, state=next_state,
+            replay=replay, learner=learner, eps_state=eps_state,
+            sum_ia_prev=sum_ia_prev, ia_counter=ia_counter,
+            prev_actions=prev_actions, key=key,
+        )
+        logs = {
+            "sum_reward": sum_r,            # [B] raw per-slot sum (main_test.py:171)
+            "actions": actions,             # [B, N]
+            "loss": loss,
+            "eps": eps_state.eps,
+            "pos_x": env_state.pos_x if cfg.save_positions else jnp.zeros((0,)),
+        }
+        return carry, logs
+
+    @partial(jax.jit, static_argnames=("num_slots",))
+    def run(key, num_slots: int):
+        carry = init_carry(key)
+        carry, logs = jax.lax.scan(slot_step, carry, jnp.arange(num_slots))
+        return carry, logs
+
+    return init_carry, slot_step, run
+
+
+def run_experiment(cfg: ExperimentConfig, seed: int | None = None,
+                   num_slots: int | None = None, dtype=jnp.float32):
+    """Convenience: build and execute the full loop. Returns (carry, logs)."""
+    _, _, run = make_train_functions(cfg, dtype)
+    key = jax.random.PRNGKey(cfg.engine.seed if seed is None else seed)
+    return run(key, cfg.time_slots if num_slots is None else num_slots)

@@ -1,0 +1,147 @@
+"""Learner-level tests (SURVEY.md section 4c): batch repacking vs the
+reference's nested loops, Double-DQN target math, target-network sync, and
+an end-to-end training-loop smoke + learning-signal check."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from diral_tpu.config import toy_4ue_3r
+from diral_tpu.agents import drqn
+from diral_tpu.models import qnets
+from diral_tpu.train.loop import make_train_functions, run_experiment
+
+
+def small_cfg(**over):
+    cfg = toy_4ue_3r(
+        time_slots=400,
+        memory_size=256,
+        explore=50,
+        greedy=100000,
+        training=True,
+        train_after_episode=True,
+        save_positions=False,
+    )
+    agent = dataclasses.replace(
+        cfg.agent, batch_size=32, n_batch=1, target_update=50,
+        network=dataclasses.replace(cfg.agent.network, layers=(32, 32)),
+    )
+    cfg = dataclasses.replace(cfg, agent=agent)
+    return dataclasses.replace(cfg, **over) if over else cfg
+
+
+def reference_repack(batch, num_users):
+    """Transliteration of drl_drqn.py:294-377 get_*_user + the reshape at
+    drl_drqn.py:234-238, against python lists."""
+    states = np.asarray(batch["states"])   # [B, T, N, D]
+    B, T, N, D = states.shape
+    out = []
+    for user in range(num_users):
+        per_user = []
+        for b in range(B):
+            per_batch = [states[b, t, user] for t in range(T)]
+            per_user.append(per_batch)
+        out.append(per_user)
+    arr = np.array(out)  # [N, B, T, D]
+    return arr.reshape(-1, T, D)
+
+
+def test_repack_matches_reference_loops():
+    rng = np.random.RandomState(0)
+    B, T, N, D = 5, 6, 4, 7
+    batch = {
+        "states": jnp.asarray(rng.randn(B, T, N, D)),
+        "actions": jnp.asarray(rng.randint(0, 3, (B, T, N))),
+        "rewards": jnp.asarray(rng.randn(B, T, N)),
+        "next_states": jnp.asarray(rng.randn(B, T, N, D)),
+    }
+    s, a, r, ns = drqn.repack_user_major(batch, N, use_lstm=True)
+    np.testing.assert_array_equal(np.asarray(s), reference_repack(batch, N))
+    # actions/rewards follow the same [N, B, T] -> [N*B, T] flattening
+    aref = np.transpose(np.asarray(batch["actions"]), (2, 0, 1)).reshape(-1, T)
+    np.testing.assert_array_equal(np.asarray(a), aref)
+
+
+def test_double_dqn_target_math():
+    cfg = small_cfg().agent
+    key = jax.random.PRNGKey(0)
+    D, A = 23, 3
+    learner = drqn.init_learner(key, D, A, cfg)
+    rng = np.random.RandomState(1)
+    rewards = jnp.asarray(rng.randn(10, cfg.step_size), jnp.float32)
+    next_states = jnp.asarray(rng.randn(10, cfg.step_size, D), jnp.float32)
+    targets = drqn.td_targets(learner, rewards, next_states, cfg)
+    # manual: argmax under online params, gather under target params
+    oq = np.asarray(qnets.drqn_apply(learner.params, next_states, cfg))
+    tq = np.asarray(qnets.drqn_apply(learner.target_params, next_states, cfg))
+    act = oq.argmax(axis=1)
+    manual = np.asarray(rewards)[:, -1] + cfg.gamma * tq[np.arange(10), act]
+    np.testing.assert_allclose(np.asarray(targets), manual, rtol=1e-6)
+
+
+def test_target_sync_cadence():
+    """Target params copy only when (t+1) % target_update == 0
+    (drl_drqn.py:263-265)."""
+    cfg = small_cfg().agent
+    learner = drqn.init_learner(jax.random.PRNGKey(0), 23, 3, cfg)
+    # make online and target differ
+    learner = learner.replace(
+        params=jax.tree.map(lambda p: p + 1.0, learner.params)
+    )
+    from diral_tpu.agents.replay import WindowReplay
+    replay = WindowReplay.create(64, (4, 23), (4,), (4,))
+    for i in range(40):
+        replay = replay.add(jnp.zeros((4, 23)), jnp.zeros(4, jnp.int32),
+                            jnp.zeros(4), jnp.zeros((4, 23)))
+    l2, _ = drqn.train(learner, replay, jax.random.PRNGKey(1), 10, cfg, 4)
+    assert not np.allclose(
+        np.asarray(jax.tree.leaves(l2.target_params)[0]),
+        np.asarray(jax.tree.leaves(l2.params)[0]),
+    )
+    l3, _ = drqn.train(learner, replay, jax.random.PRNGKey(1),
+                       cfg.target_update - 1, cfg, 4)
+    for tp, p in zip(jax.tree.leaves(l3.target_params), jax.tree.leaves(l3.params)):
+        np.testing.assert_array_equal(np.asarray(tp), np.asarray(p))
+
+
+def test_training_loop_smoke():
+    """400 slots, 2 envs: runs end-to-end under jit, logs well-formed,
+    epsilon followed the per-episode decay schedule."""
+    cfg = small_cfg()
+    cfg = dataclasses.replace(
+        cfg, engine=dataclasses.replace(cfg.engine, num_envs=2)
+    )
+    carry, logs = run_experiment(cfg, seed=0, num_slots=400)
+    assert logs["sum_reward"].shape == (400, 2)
+    assert logs["actions"].shape == (400, 2, 4)
+    assert np.isfinite(np.asarray(logs["loss"])).all()
+    # some train step actually ran and moved the online params off the target
+    episodes_fired = 399 // cfg.episode_interval
+    expect_eps = max(0.99 * cfg.agent.eps_decay ** episodes_fired, 0.001)
+    np.testing.assert_allclose(float(logs["eps"][-1]), expect_eps, rtol=1e-4)
+    # rewards bounded by design-2 range (worst: all N users collide on one
+    # channel, each rewarded -N -> sum = -N^2)
+    sr = np.asarray(logs["sum_reward"])
+    assert sr.max() <= cfg.env.num_channels
+    assert sr.min() >= -float(cfg.env.num_users**2)
+
+
+def test_learning_signal():
+    """End-to-end learning check on a CI-tractable 2-user/2-channel config:
+    agents must learn to pick distinct channels (optimal sum reward 2.0).
+    The 4ue/3r flagship needs the reference's 250k-slot schedule
+    (config yaml:4-17) and is validated on TPU via bench/eval, not CI."""
+    cfg = small_cfg(explore=100, time_slots=4000)
+    env = dataclasses.replace(cfg.env, num_users=2, num_channels=2)
+    agent = dataclasses.replace(cfg.agent, eps_decay=0.98, batch_size=64,
+                                n_batch=1, target_update=100,
+                                learning_rate=3e-4)
+    cfg = dataclasses.replace(cfg, env=env, agent=agent)
+    carry, logs = run_experiment(cfg, seed=0, num_slots=4000)
+    sr = np.asarray(logs["sum_reward"])[:, 0]
+    early = sr[:800].mean()
+    late = sr[-800:].mean()
+    assert late > early + 0.3, f"no learning signal: early={early:.2f} late={late:.2f}"
+    assert late > 1.4, f"late-policy reward too low: {late:.2f} (optimal 2.0)"

@@ -1,0 +1,152 @@
+"""Replay-buffer and exploration-policy semantics (SURVEY.md section 4c).
+
+Replay checks run against a straightforward Python deque model of the
+reference ``Memory`` (utils/memory.py:162-194) and ``ReplayBuffer``
+(utils/memory.py:120-159).
+"""
+
+from collections import deque
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from diral_tpu.agents import policies as P
+from diral_tpu.agents.replay import TransitionReplay, WindowReplay
+
+
+def test_window_replay_deque_semantics():
+    """Ring contents in deque order must match a maxlen deque."""
+    cap = 8
+    buf = WindowReplay.create(cap, state_shape=(2,), action_shape=(), reward_shape=())
+    model = deque(maxlen=cap)
+    for i in range(20):
+        s = jnp.asarray([i, i + 0.5])
+        buf = buf.add(s, jnp.asarray(i), jnp.asarray(float(i)), s + 1)
+        model.append(i)
+        # deque order read-back
+        idx = buf._ring_index(jnp.arange(int(buf.count)))
+        got = np.asarray(buf.actions[idx])
+        np.testing.assert_array_equal(got, np.array(model))
+
+
+def test_window_sampler_contiguous_and_distinct():
+    cap, step, batch = 64, 6, 16
+    buf = WindowReplay.create(cap, state_shape=(1,), action_shape=(), reward_shape=())
+    for i in range(50):
+        buf = buf.add(jnp.asarray([float(i)]), jnp.asarray(i), jnp.asarray(0.0),
+                      jnp.asarray([float(i + 1)]))
+    out = buf.sample_windows(jax.random.PRNGKey(0), batch, step)
+    acts = np.asarray(out["actions"])  # [batch, step]
+    # windows are contiguous runs
+    np.testing.assert_array_equal(np.diff(acts, axis=1), np.ones((batch, step - 1)))
+    # starts are distinct (without replacement) and inside [0, count - step)
+    starts = acts[:, 0]
+    assert len(set(starts.tolist())) == batch
+    assert starts.min() >= 0 and starts.max() < 50 - step
+    # states/next_states aligned with actions
+    np.testing.assert_array_equal(np.asarray(out["states"])[:, :, 0], acts)
+    np.testing.assert_array_equal(np.asarray(out["next_states"])[:, :, 0], acts + 1)
+
+
+def test_window_sampler_uniformity():
+    """Start positions should cover the valid range roughly uniformly."""
+    cap, step = 32, 4
+    buf = WindowReplay.create(cap, state_shape=(1,), action_shape=(), reward_shape=())
+    for i in range(cap):
+        buf = buf.add(jnp.asarray([0.0]), jnp.asarray(i), jnp.asarray(0.0),
+                      jnp.asarray([0.0]))
+    counts = np.zeros(cap)
+    for s in range(200):
+        out = buf.sample_windows(jax.random.PRNGKey(s), 8, step)
+        for a in np.asarray(out["actions"])[:, 0]:
+            counts[a] += 1
+    assert counts[: cap - step].min() > 0
+    assert counts[cap - step:].sum() == 0  # never start inside the tail
+
+
+def test_transition_replay_wraparound():
+    """put with wraparound mirrors memory.py:127-145 data placement.
+
+    Note: the reference sets ``head = split`` after a wrapping put
+    (memory.py:144), a bug that makes the next put clobber fresh data; our
+    ring advances head correctly (documented deviation in replay.py)."""
+    buf = TransitionReplay.create(10, state_dim=1)
+    ref = np.zeros((10, 1))
+    head = 0
+    for chunk in ([3, 4, 5], [6, 7, 8, 9], [10, 11, 12, 13, 14]):
+        data = np.array(chunk, dtype=np.float32)[:, None]
+        n = len(data)
+        for row in data:  # correct ring semantics
+            ref[head] = row
+            head = (head + 1) % 10
+        buf = buf.put(jnp.asarray(data), jnp.zeros(n, jnp.int32),
+                      jnp.zeros(n), jnp.zeros(n, bool), jnp.ones(n))
+        np.testing.assert_array_equal(np.asarray(buf.states), ref)
+        assert int(buf.head) == head
+
+
+def test_transition_replay_next_state_alignment():
+    buf = TransitionReplay.create(32, state_dim=1)
+    data = np.arange(20, dtype=np.float32)[:, None]
+    buf = buf.put(jnp.asarray(data), jnp.arange(20, dtype=jnp.int32),
+                  jnp.zeros(20), jnp.zeros(20, bool), jnp.ones(20))
+    out = buf.sample(jax.random.PRNGKey(1), 64)
+    np.testing.assert_array_equal(
+        np.asarray(out["next_states"])[:, 0], np.asarray(out["states"])[:, 0] + 1
+    )
+
+
+def test_eps_greedy_schedule():
+    """eps *= decay once per episode advance, floored at 0.001
+    (policies.py:45-63)."""
+    st = P.eps_greedy_init(0.99)
+    st = P.eps_greedy_update(st, jnp.asarray(0), 0.9)
+    np.testing.assert_allclose(float(st.eps), 0.99, rtol=1e-6)  # no episode advance
+    st = P.eps_greedy_update(st, jnp.asarray(1), 0.9)
+    np.testing.assert_allclose(float(st.eps), 0.99 * 0.9, rtol=1e-6)
+    st = P.eps_greedy_update(st, jnp.asarray(1), 0.9)
+    np.testing.assert_allclose(float(st.eps), 0.99 * 0.9, rtol=1e-6)  # same episode
+    for e in range(2, 3000):
+        st = P.eps_greedy_update(st, jnp.asarray(e), 0.9)
+    assert abs(float(st.eps) - 0.001) < 1e-9  # floor
+
+
+def test_eps_greedy_action_extremes():
+    q = jnp.asarray([[0.0, 5.0, 1.0]] * 4)
+    greedy = P.eps_greedy_action(jax.random.PRNGKey(0), q, jnp.asarray(0.0))
+    np.testing.assert_array_equal(np.asarray(greedy), [1, 1, 1, 1])
+    # eps=1: uniform over actions
+    acts = [np.asarray(P.eps_greedy_action(jax.random.PRNGKey(s), q, jnp.asarray(1.0)))
+            for s in range(200)]
+    assert len(np.unique(np.concatenate(acts))) == 3
+
+
+def test_softmax_schedule_matches_reference_formula():
+    sched = P.softmax_temperature_schedule(0.05, 1000)
+    warm = int(1000 * 2 / 3)
+    np.testing.assert_allclose(sched[:warm], np.geomspace(1.0, 0.05, warm), rtol=1e-5)
+    np.testing.assert_allclose(sched[warm:], 0.05, rtol=1e-6)
+    # out-of-range episode falls back to base temperature
+    _, t = P.softmax_action(jax.random.PRNGKey(0), jnp.zeros((2, 3)),
+                            jnp.asarray(sched), jnp.asarray(5000), 0.05)
+    np.testing.assert_allclose(float(t), 0.05, rtol=1e-6)
+
+
+def test_boltzman_beta_anneal():
+    st = P.boltzman_init(1.0)
+    st = P.boltzman_update(st, jnp.asarray(0))
+    np.testing.assert_allclose(float(st.beta), 0.999, rtol=1e-6)
+    st = P.boltzman_update(st, jnp.asarray(49))
+    np.testing.assert_allclose(float(st.beta), 0.999, rtol=1e-6)
+    st = P.boltzman_update(st, jnp.asarray(6000))  # past the anneal horizon
+    np.testing.assert_allclose(float(st.beta), 0.999, rtol=1e-6)
+
+
+def test_driver_mode_switch():
+    q = jnp.asarray([[0.0, 9.0, 1.0]] * 3)
+    st = P.eps_greedy_init(1.0)  # fully exploratory policy
+    # after greedy_after the action must be argmax regardless of eps
+    a = P.driver_mode_actions(jax.random.PRNGKey(0), q, st,
+                              jnp.asarray(250000), 2000, 200000)
+    np.testing.assert_array_equal(np.asarray(a), [1, 1, 1])

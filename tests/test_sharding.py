@@ -1,0 +1,88 @@
+"""Multi-chip sharding tests on the 8-device fake CPU platform
+(SURVEY.md section 4d): the sharded training step must compile, execute,
+and agree numerically with the single-device run."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from diral_tpu.config import toy_4ue_3r
+from diral_tpu.parallel.mesh import carry_shardings, make_mesh, shard_carry
+from diral_tpu.train.loop import make_train_functions
+
+
+def tiny_cfg(num_envs):
+    cfg = toy_4ue_3r(
+        time_slots=64, memory_size=64, explore=0, greedy=10_000,
+        training=True, train_after_episode=True, save_positions=False,
+    )
+    return dataclasses.replace(
+        cfg,
+        agent=dataclasses.replace(
+            cfg.agent, batch_size=8, n_batch=1, target_update=25,
+            network=dataclasses.replace(cfg.agent.network, layers=(16, 16)),
+        ),
+        engine=dataclasses.replace(cfg.engine, num_envs=num_envs),
+    )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 fake devices")
+def test_sharded_train_step_matches_single_device():
+    cfg = tiny_cfg(num_envs=8)
+    init_carry, slot_step, _ = make_train_functions(cfg, jnp.float32)
+    carry0 = jax.jit(init_carry)(jax.random.PRNGKey(0))
+
+    # single-device reference
+    ref_carry, ref_logs = jax.jit(slot_step)(carry0, jnp.asarray(49))
+
+    mesh = make_mesh(8)
+    with mesh:
+        sharded = shard_carry(carry0, mesh)
+        sh = carry_shardings(carry0, mesh)
+        step = jax.jit(slot_step, in_shardings=(sh, None),
+                       out_shardings=(sh, None))
+        out_carry, out_logs = step(sharded, jnp.asarray(49))
+        jax.block_until_ready(out_carry)
+
+    np.testing.assert_allclose(
+        np.asarray(out_logs["sum_reward"]), np.asarray(ref_logs["sum_reward"]),
+        rtol=1e-6,
+    )
+    # learner params identical across placements (gradient psum == local sum)
+    for a, b in zip(jax.tree.leaves(out_carry.learner.params),
+                    jax.tree.leaves(ref_carry.learner.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 fake devices")
+def test_model_parallel_mesh():
+    """DP x TP mesh: params shard over the model axis and the step still runs."""
+    cfg = tiny_cfg(num_envs=8)
+    init_carry, slot_step, _ = make_train_functions(cfg, jnp.float32)
+    carry0 = jax.jit(init_carry)(jax.random.PRNGKey(0))
+    mesh = make_mesh(8, model_parallel=2)
+    with mesh:
+        sharded = shard_carry(carry0, mesh)
+        # the LSTM kernel actually got a model-sharded layout
+        lstm_w = sharded.learner.params["lstm"]["w"]
+        assert "model" in str(lstm_w.sharding.spec)
+        sh = carry_shardings(carry0, mesh)
+        step = jax.jit(slot_step, in_shardings=(sh, None),
+                       out_shardings=(sh, None))
+        out_carry, out_logs = step(sharded, jnp.asarray(49))
+        jax.block_until_ready(out_carry)
+    assert np.isfinite(np.asarray(out_logs["sum_reward"])).all()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 fake devices")
+def test_graft_dryrun():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape[-1] == 3
+    g.dryrun_multichip(8)
