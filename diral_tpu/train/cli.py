@@ -1,0 +1,151 @@
+"""Command-line interface.
+
+Replaces the reference's hardcoded experiment list in ``__main__``
+(main_test.py:267-295) with subcommands over config files:
+
+    python -m diral_tpu train     <config.yaml> [--slots N] [--seed S] ...
+    python -m diral_tpu train-ppo <config.yaml> [--episodes N]
+    python -m diral_tpu eval      <config.yaml> [--checkpoint DIR] [--steps N]
+    python -m diral_tpu compare-sps <config.yaml> [--steps N]
+    python -m diral_tpu bench
+
+Reference YAMLs load as-is; the ``realness`` flag routes to the interop
+gateway env (the reference driver hard-disables that path,
+main_test.py:291-293 -- here it is a real capability, see diral_tpu.interop).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+
+import numpy as np
+
+
+def _load(args):
+    from diral_tpu.config import load_config
+
+    cfg = load_config(args.config)
+    over = {}
+    if getattr(args, "slots", None):
+        over["time_slots"] = args.slots
+    if over:
+        cfg = dataclasses.replace(cfg, **over)
+    if getattr(args, "num_envs", None):
+        cfg = dataclasses.replace(
+            cfg, engine=dataclasses.replace(cfg.engine, num_envs=args.num_envs)
+        )
+    return cfg
+
+
+def cmd_train(args):
+    cfg = _load(args)
+    from diral_tpu.train.runner import run_all_simulations
+
+    run_all_simulations(cfg, workdir=args.workdir, seed=args.seed,
+                        resume=args.resume)
+
+
+def cmd_train_ppo(args):
+    cfg = _load(args)
+    from diral_tpu.train.ppo_loop import run_ppo
+
+    learner, logs = run_ppo(cfg, seed=args.seed or 0,
+                            num_episodes=args.episodes)
+    sr = np.asarray(logs["mean_sum_reward"])
+    print(json.dumps({
+        "episodes": int(sr.shape[0]),
+        "mean_sum_reward_first100": float(sr[:100].mean()),
+        "mean_sum_reward_last100": float(sr[-100:].mean()),
+    }))
+
+
+def cmd_eval(args):
+    import jax
+
+    cfg = _load(args)
+    from diral_tpu.agents import drqn
+    from diral_tpu.train import checkpoint as ckpt
+    from diral_tpu.train.evaluate import evaluate_drqn
+    from diral_tpu.train.loop import make_train_functions
+
+    init_carry, _, _ = make_train_functions(cfg)
+    carry = jax.jit(init_carry)(jax.random.PRNGKey(args.seed or 0))
+    learner = carry.learner
+    if args.checkpoint:
+        mgr = ckpt.checkpoint_manager(args.checkpoint)
+        carry, step = ckpt.restore(mgr, carry)
+        learner = carry.learner
+        print(f"loaded checkpoint at slot {step}")
+    print(json.dumps(evaluate_drqn(cfg, learner, jax.random.PRNGKey(1),
+                                   steps=args.steps)))
+
+
+def cmd_compare_sps(args):
+    import jax
+
+    cfg = _load(args)
+    from diral_tpu.train import checkpoint as ckpt
+    from diral_tpu.train.evaluate import compare_drqn_vs_sps
+    from diral_tpu.train.loop import make_train_functions
+
+    init_carry, _, _ = make_train_functions(cfg)
+    carry = jax.jit(init_carry)(jax.random.PRNGKey(args.seed or 0))
+    if args.checkpoint:
+        mgr = ckpt.checkpoint_manager(args.checkpoint)
+        carry, _ = ckpt.restore(mgr, carry)
+    print(json.dumps(compare_drqn_vs_sps(cfg, carry.learner,
+                                         jax.random.PRNGKey(1),
+                                         steps=args.steps)))
+
+
+def cmd_bench(args):
+    import bench
+
+    bench.main()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="diral_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, config=True):
+        if config:
+            sp.add_argument("config")
+        sp.add_argument("--seed", type=int, default=None)
+        sp.add_argument("--num-envs", type=int, default=None)
+
+    sp = sub.add_parser("train", help="off-policy DRQN training (marl_test)")
+    common(sp)
+    sp.add_argument("--slots", type=int, default=None)
+    sp.add_argument("--workdir", default=".")
+    sp.add_argument("--resume", action="store_true")
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("train-ppo", help="on-policy PPO training")
+    common(sp)
+    sp.add_argument("--episodes", type=int, default=None)
+    sp.set_defaults(fn=cmd_train_ppo)
+
+    sp = sub.add_parser("eval", help="greedy evaluation of a checkpoint")
+    common(sp)
+    sp.add_argument("--checkpoint", default=None)
+    sp.add_argument("--steps", type=int, default=500)
+    sp.set_defaults(fn=cmd_eval)
+
+    sp = sub.add_parser("compare-sps", help="DIRAL vs SPS PRR comparison")
+    common(sp)
+    sp.add_argument("--checkpoint", default=None)
+    sp.add_argument("--steps", type=int, default=500)
+    sp.set_defaults(fn=cmd_compare_sps)
+
+    sp = sub.add_parser("bench", help="run the throughput benchmark")
+    sp.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

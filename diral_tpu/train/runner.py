@@ -1,0 +1,103 @@
+"""Host-side experiment runner: chunked device scans + periodic artifacts.
+
+The device does ``chunk_size`` slots per dispatch (one jitted scan); the
+host only touches data at chunk boundaries -- to append logs, print the
+reference-style episode telemetry, dump npy results every ``save_freq``
+slots (main_test.py:238-258) and checkpoint (main_test.py:260-264).  The
+multi-simulation outer loop matches ``marl_test``'s
+``for simulation in range(simulations)`` (main_test.py:43-44).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from diral_tpu.config import ExperimentConfig
+from diral_tpu.train import checkpoint as ckpt
+from diral_tpu.train.loop import make_train_functions
+from diral_tpu.train.metrics import ResultWriter
+
+
+def train_experiment(cfg: ExperimentConfig, workdir: str = ".",
+                     seed: int | None = None, chunk_size: int | None = None,
+                     resume: bool = False, simulation: int = 0,
+                     dtype=jnp.float32, verbose: bool = True):
+    """Run one simulation of the experiment. Returns (carry, logs dict)."""
+    init_carry, slot_step, _ = make_train_functions(cfg, dtype)
+    chunk = chunk_size or max(1, min(cfg.save_freq, 5000))
+
+    @partial(jax.jit, static_argnames=("n",))
+    def run_chunk(carry, t0, n: int):
+        return jax.lax.scan(slot_step, carry, t0 + jnp.arange(n))
+
+    key = jax.random.PRNGKey(cfg.engine.seed if seed is None else seed)
+    key = jax.random.fold_in(key, simulation)
+    carry = jax.jit(init_carry)(key)
+
+    mgr = None
+    t = 0
+    ckpt_dir = os.path.join(workdir, "save_model", "test",
+                            cfg.experiment_name or "experiment")
+    if cfg.save_model or resume:
+        mgr = ckpt.checkpoint_manager(ckpt_dir)
+    if resume:
+        carry, t = ckpt.restore(mgr, carry)
+        if verbose:
+            print(f"resumed from slot {t}")
+
+    writer = ResultWriter(workdir, cfg.experiment_name or "experiment",
+                          simulation)
+    rewards, actions, positions, losses = [], [], [], []
+
+    while t < cfg.time_slots:
+        n = min(chunk, cfg.time_slots - t)
+        carry, logs = run_chunk(carry, jnp.asarray(t), n)
+        rewards.append(np.asarray(logs["sum_reward"]))
+        actions.append(np.asarray(logs["actions"]))
+        losses.append(np.asarray(logs["loss"]))
+        if cfg.save_positions:
+            positions.append(np.asarray(logs["pos_x"]))
+        t += n
+
+        eps = float(np.asarray(logs["eps"])[-1])
+        mean_r = float(rewards[-1][:, 0].mean())
+        if verbose:
+            writer.episode_line(t - 1, eps,
+                                cfg.env.num_channels - mean_r, mean_r)
+        writer.log({"slot": t, "eps": eps, "mean_sum_reward": mean_r,
+                    "loss": float(losses[-1][-1])})
+
+        if cfg.save_results and (t % cfg.save_freq == 0 or t >= cfg.time_slots):
+            writer.save_arrays(
+                np.concatenate(rewards),
+                np.concatenate(actions),
+                np.concatenate(positions) if positions else None,
+            )
+        if cfg.save_model and mgr is not None and (
+            t % cfg.save_freq == 0 or t >= cfg.time_slots
+        ):
+            ckpt.save(mgr, t, carry)
+
+    writer.close()
+    out = {
+        "sum_reward": np.concatenate(rewards),
+        "actions": np.concatenate(actions),
+        "loss": np.concatenate(losses),
+    }
+    if positions:
+        out["pos_x"] = np.concatenate(positions)
+    return carry, out
+
+
+def run_all_simulations(cfg: ExperimentConfig, workdir: str = ".", **kw):
+    """marl_test's outer loop (main_test.py:43-44)."""
+    results = []
+    for sim in range(cfg.simulations):
+        print(f"-=-= experiment: {cfg.experiment_name} SIMULATION {sim + 1} =-=-")
+        results.append(train_experiment(cfg, workdir, simulation=sim, **kw))
+    return results

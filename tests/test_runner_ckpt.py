@@ -1,0 +1,89 @@
+"""Runner + checkpoint tests: chunked execution equals monolithic scan,
+checkpoint round-trip is exact, artifacts land in the reference layout."""
+
+import dataclasses
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from diral_tpu.config import toy_4ue_3r
+from diral_tpu.train import checkpoint as ckpt
+from diral_tpu.train.loop import make_train_functions
+from diral_tpu.train.runner import train_experiment
+
+
+def small_cfg(tmp, **over):
+    cfg = toy_4ue_3r(
+        experiment_name="ckpt_test", time_slots=120, memory_size=128,
+        save_freq=60, explore=20, training=True, train_after_episode=True,
+        save_positions=True, save_model=True,
+    )
+    agent = dataclasses.replace(
+        cfg.agent, batch_size=16, n_batch=1, target_update=25,
+        network=dataclasses.replace(cfg.agent.network, layers=(16, 16)),
+    )
+    return dataclasses.replace(cfg, agent=agent, **over)
+
+
+def test_chunked_equals_monolithic(tmp_path):
+    cfg = small_cfg(tmp_path, save_model=False, save_results=False)
+    init_carry, slot_step, run = make_train_functions(cfg)
+    _, logs_mono = run(jax.random.PRNGKey(5), 120)
+
+    # chunked: same seed, chunks of 40
+    carry = jax.jit(init_carry)(jax.random.PRNGKey(5))
+    outs = []
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("n",))
+    def run_chunk(carry, t0, n):
+        return jax.lax.scan(slot_step, carry, t0 + jnp.arange(n))
+
+    for t0 in (0, 40, 80):
+        carry, logs = run_chunk(carry, jnp.asarray(t0), 40)
+        outs.append(np.asarray(logs["sum_reward"]))
+    np.testing.assert_allclose(
+        np.concatenate(outs), np.asarray(logs_mono["sum_reward"]), rtol=1e-6
+    )
+
+
+def test_checkpoint_roundtrip_exact(tmp_path):
+    cfg = small_cfg(tmp_path)
+    init_carry, slot_step, _ = make_train_functions(cfg)
+    carry = jax.jit(init_carry)(jax.random.PRNGKey(0))
+    carry, _ = jax.jit(slot_step)(carry, jnp.asarray(0))
+
+    mgr = ckpt.checkpoint_manager(str(tmp_path / "ck"))
+    ckpt.save(mgr, 1, carry)
+    restored, step = ckpt.restore(mgr, carry)
+    assert step == 1
+    for a, b in zip(jax.tree.leaves(carry), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # continuing from restored state matches continuing from original
+    c1, l1 = jax.jit(slot_step)(carry, jnp.asarray(1))
+    c2, l2 = jax.jit(slot_step)(restored, jnp.asarray(1))
+    np.testing.assert_array_equal(np.asarray(l1["sum_reward"]),
+                                  np.asarray(l2["sum_reward"]))
+
+
+def test_runner_artifacts_layout(tmp_path):
+    cfg = small_cfg(tmp_path)
+    train_experiment(cfg, workdir=str(tmp_path), seed=1, chunk_size=60,
+                     verbose=False)
+    d = tmp_path / "save_results" / "test" / "ckpt_test"
+    assert (d / "rewards_sim0.npy").exists()
+    assert (d / "actions_sim0.npy").exists()
+    assert (d / "positions_sim0.npy").exists()
+    rewards = np.load(d / "rewards_sim0.npy")
+    assert rewards.shape[0] == 120
+    ck = tmp_path / "save_model" / "test" / "ckpt_test"
+    assert ckpt.latest_step(str(ck)) == 120
+
+    # resume completes without retraining from scratch
+    cfg2 = dataclasses.replace(cfg, time_slots=180)
+    carry, out = train_experiment(cfg2, workdir=str(tmp_path), seed=1,
+                                  chunk_size=60, resume=True, verbose=False)
+    assert out["sum_reward"].shape[0] == 60  # only the new slots
