@@ -41,14 +41,14 @@ def reference_choose(rssi, prev_action, threshold):
 
 def test_choose_resource_matches_reference_shortlist():
     rng = np.random.RandomState(0)
-    for trial in range(50):
+    for trial in range(12):
         c = rng.choice([5, 10, 20])
         rssi = rng.uniform(-120, -80, size=c)
         prev = int(rng.randint(0, c))
         thr = -110.0
         sb = reference_choose(rssi, prev, thr)
         picks = set()
-        for s in range(40):
+        for s in range(25):
             a = S._choose_new_resource(
                 jax.random.PRNGKey(trial * 100 + s), jnp.asarray(rssi),
                 jnp.asarray(prev), thr,
