@@ -74,12 +74,89 @@ def main():
         rates.append(rate)
     best = sorted(rates)[len(rates) // 2]  # median
 
+    try:
+        bench_scale()
+        bench_train_loop()
+    except Exception as e:  # secondary diagnostics must not kill the headline
+        log("secondary bench failed:", repr(e))
+
     print(json.dumps({
         "metric": "env_steps_per_sec_per_chip",
         "value": round(best, 1),
         "unit": "env-steps/s/chip",
         "vs_baseline": round(best / BASELINE_STEPS_PER_SEC, 3),
     }))
+
+
+def bench_scale(num_envs: int = 2048, chunk: int = 32):
+    """Scale config (100 vehicles / 50 resources): env-steps/s, stderr only."""
+    import dataclasses
+    from diral_tpu.config import load_config
+
+    cfg = dataclasses.replace(
+        load_config("configs/scale_100v_50r.yaml").env)
+    key = jax.random.PRNGKey(1)
+    state = jax.vmap(lambda k: E.reset(cfg, k, jnp.float32))(
+        jax.random.split(key, num_envs)
+    )
+
+    @jax.jit
+    def rollout(state, key):
+        def body(carry, i):
+            s, k = carry
+            k, ka = jax.random.split(k)
+            acts = jax.random.randint(ka, (num_envs, cfg.num_users), 0,
+                                      cfg.num_channels)
+            s, obs, rew = jax.vmap(
+                lambda si, ai: E.step_channel(cfg, si, ai, i)
+            )(s, acts)
+            sv = jax.vmap(
+                lambda si, oi, ai, ri: E.obtain_state(cfg, si, oi, ai, ri)
+            )(s, obs, acts, rew)
+            return (s, k), rew.sum()
+        (s, k), r = jax.lax.scan(body, (state, key), jnp.arange(chunk))
+        return s, r.sum()
+
+    t = time.perf_counter()
+    state, tot = rollout(state, key)
+    tot = float(tot)
+    log(f"scale compile+first: {time.perf_counter() - t:.1f}s")
+    t = time.perf_counter()
+    state, tot = rollout(state, jax.random.fold_in(key, 1))
+    tot = float(tot)
+    dt = time.perf_counter() - t
+    log(f"scale (100v/50r, B={num_envs}): {num_envs * chunk / dt:,.0f} "
+        f"env-steps/s ({num_envs * chunk * 100 / dt:,.0f} agent-steps/s)")
+
+
+def bench_train_loop(num_envs: int = 256, chunk: int = 100):
+    """Full toy training slots/s (inference+env+replay+episodic train)."""
+    import dataclasses
+    from functools import partial
+    from diral_tpu.config import toy_4ue_3r
+    from diral_tpu.train.loop import make_train_functions
+
+    cfg = toy_4ue_3r(save_positions=False, explore=0, memory_size=1024)
+    cfg = dataclasses.replace(
+        cfg, engine=dataclasses.replace(cfg.engine, num_envs=num_envs)
+    )
+    init_carry, slot_step, _ = make_train_functions(cfg)
+    carry = jax.jit(init_carry)(jax.random.PRNGKey(0))
+
+    @partial(jax.jit, static_argnames=("n",))
+    def run_chunk(carry, t0, n):
+        return jax.lax.scan(slot_step, carry, t0 + jnp.arange(n))
+
+    t = time.perf_counter()
+    carry, _ = run_chunk(carry, jnp.asarray(0), chunk)
+    jax.block_until_ready(carry)
+    log(f"train-loop compile+first: {time.perf_counter() - t:.1f}s")
+    t = time.perf_counter()
+    carry, logs = run_chunk(carry, jnp.asarray(chunk), chunk)
+    jax.block_until_ready(carry)
+    dt = time.perf_counter() - t
+    log(f"train loop (toy, B={num_envs}, batch512x2/episode): "
+        f"{chunk / dt:,.0f} slots/s, {num_envs * chunk / dt:,.0f} env-slots/s")
 
 
 if __name__ == "__main__":

@@ -253,6 +253,27 @@ def update_velocity(cfg: EnvConfig, state: EnvState, key) -> EnvState:
 # ---------------------------------------------------------------------------
 
 
+# The reference walks channels sequentially because piggyback merges in an
+# earlier channel feed later channels through the live-table aliasing
+# (vehicle.py:61).  For small C the loop is unrolled into the program; for
+# large C (e.g. the 50-resource scale config) it runs as a ``lax.scan`` over
+# the channel axis -- same ops, same numerics, bounded program size.
+CHANNEL_UNROLL_MAX = 8
+
+
+def _channel_loop(c: int, body, carry):
+    """Apply ``body(carry, ch) -> carry`` over channels 0..c-1, unrolled for
+    small c and as a lax.scan otherwise."""
+    if c <= CHANNEL_UNROLL_MAX:
+        for ch in range(c):
+            carry = body(carry, ch)
+        return carry
+    carry, _ = jax.lax.scan(
+        lambda cr, ch: (body(cr, ch), None), carry, jnp.arange(c)
+    )
+    return carry
+
+
 def step_collision(cfg: EnvConfig, state: EnvState, actions, t, trace=None):
     """``my_step`` semantics (test_env.py:124-266): per-channel collision
     rewards shared among colliders, half-duplex observations, piggyback
@@ -274,12 +295,8 @@ def step_collision(cfg: EnvConfig, state: EnvState, actions, t, trace=None):
     norm_d = _norm_distance(state.pos_x, D)
     tx_counts = acts.sum(axis=0)  # [C]
 
-    rews = jnp.zeros((n,), dtype)
-    la = state.last_arrival
-    pf = state.pf_counter
-    obs_cols = []
-
-    for ch in range(c):
+    def body(carry, ch):
+        state, la, pf, rews, obs = carry
         txm = acts[:, ch] == 1
         tot = tx_counts[ch]
         transmission = tot > 0
@@ -292,7 +309,7 @@ def step_collision(cfg: EnvConfig, state: EnvState, actions, t, trace=None):
             rx_obs = jnp.where(invoked, jnp.asarray(1.0, dtype), 0)
         else:
             rx_obs = jnp.where(invoked, cd, 0)
-        obs_cols.append(jnp.where(txm, 0, rx_obs))
+        obs = obs.at[:, ch].set(jnp.where(txm, 0, rx_obs))
 
         r_tx = jnp.where(tot > 1, rewards_ch, jnp.asarray(1.0, dtype))
         rews = jnp.where(txm, r_tx, rews)
@@ -309,8 +326,12 @@ def step_collision(cfg: EnvConfig, state: EnvState, actions, t, trace=None):
 
         if st.add_positional_dist_piggy:
             state = _merge_tables(state, invoked & has, cid)
+        return state, la, pf, rews, obs
 
-    obs = jnp.stack(obs_cols, axis=1)
+    carry = (state, state.last_arrival, state.pf_counter,
+             jnp.zeros((n,), dtype), jnp.zeros((n, c), dtype))
+    state, la, pf, rews, obs = _channel_loop(c, body, carry)
+
     state = state.replace(last_arrival=la, pf_counter=pf)
     state = _advance_mobility(cfg, state, t, trace)
     return state, obs, rews
@@ -330,11 +351,8 @@ def step_design(cfg: EnvConfig, state: EnvState, actions, t, trace=None):
     D = pairwise_distances(state.pos_x, state.pos_y)
     two_r = 2 * cfg.communication_range
 
-    rews = jnp.zeros((n,), dtype)
-    la = state.last_arrival
-    obs_cols = []
-
-    for ch in range(c):
+    def body(carry, ch):
+        state, la, rews, obs = carry
         txm = acts[:, ch] == 1
         tot = txm.sum()
         invoked = ~txm & (tot > 0)
@@ -354,15 +372,20 @@ def step_design(cfg: EnvConfig, state: EnvState, actions, t, trace=None):
         r_tx = jnp.where(tot == 1, jnp.asarray(1.0, dtype), r_coll)
         rews = jnp.where(txm, r_tx, rews)
 
-        obs_cols.append(jnp.where(txm, 0, jnp.where(invoked, 1.0, 0.0)).astype(dtype))
+        obs = obs.at[:, ch].set(
+            jnp.where(txm, 0, jnp.where(invoked, 1.0, 0.0)).astype(dtype)
+        )
 
         cd, cid, has = _closest_tx(D, txm, cfg.communication_range)
         oor = txm[:, None] & invoked[None, :] & (D >= cfg.communication_range)
         la = jnp.where(oor, -1, la)
         if st.add_positional_dist_piggy:
             state = _merge_tables(state, invoked & has, cid)
+        return state, la, rews, obs
 
-    obs = jnp.stack(obs_cols, axis=1)
+    carry = (state, state.last_arrival, jnp.zeros((n,), dtype),
+             jnp.zeros((n, c), dtype))
+    state, la, rews, obs = _channel_loop(c, body, carry)
     state = state.replace(last_arrival=la)
     state = _advance_mobility(cfg, state, t, trace)
     return state, obs, rews
@@ -383,11 +406,12 @@ def step_channel(cfg: EnvConfig, state: EnvState, actions, t, trace=None):
     D = pairwise_distances(state.pos_x, state.pos_y)
     R = cfg.communication_range
 
-    rews = jnp.zeros((n,), dtype)
-    la = state.last_arrival
-    obs_cols = []
+    design = cfg.reward_design
+    if design not in (2, 3, 4):
+        raise ValueError("my_step_ch defined for reward designs 2/3/4 only")
 
-    for ch in range(c):
+    def body(carry, ch):
+        state, la, rews, obs = carry
         txm = acts[:, ch] == 1
         tot = txm.sum()
         invoked = ~txm & (tot > 0)
@@ -403,19 +427,18 @@ def step_channel(cfg: EnvConfig, state: EnvState, actions, t, trace=None):
                         received.astype(dtype) / in_range.astype(dtype),
                         jnp.asarray(1.0, dtype))
 
-        design = cfg.reward_design
         if design == 3:
             r_coll, r_solo = 1.0 - jnp.exp(1.0 - prr), 1.0
         elif design == 4:
             r_coll, r_solo = -jnp.exp(1.0 - prr), float(jnp.e)
-        elif design == 2:
-            r_coll, r_solo = -(1.0 - prr), 1.0
         else:
-            raise ValueError("my_step_ch defined for reward designs 2/3/4 only")
+            r_coll, r_solo = -(1.0 - prr), 1.0
         r_tx = jnp.where(tot > 1, r_coll, jnp.asarray(r_solo, dtype))
         rews = jnp.where(txm, r_tx, rews)
 
-        obs_cols.append(jnp.where(txm, 0, jnp.where(invoked, 1.0, 0.0)).astype(dtype))
+        obs = obs.at[:, ch].set(
+            jnp.where(txm, 0, jnp.where(invoked, 1.0, 0.0)).astype(dtype)
+        )
 
         oor = txm[:, None] & invoked[None, :] & (D >= R)
         la = jnp.where(oor, -1, la)
@@ -424,8 +447,11 @@ def step_channel(cfg: EnvConfig, state: EnvState, actions, t, trace=None):
         la = jnp.where(arr, jnp.asarray(t, la.dtype), la)
         if st.add_positional_dist_piggy:
             state = _merge_tables(state, invoked & has, cid)
+        return state, la, rews, obs
 
-    obs = jnp.stack(obs_cols, axis=1)
+    carry = (state, state.last_arrival, jnp.zeros((n,), dtype),
+             jnp.zeros((n, c), dtype))
+    state, la, rews, obs = _channel_loop(c, body, carry)
     state = state.replace(last_arrival=la)
     state = _advance_mobility(cfg, state, t, trace)
     return state, obs, rews

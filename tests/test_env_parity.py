@@ -100,6 +100,19 @@ def test_more_users_channels():
     rollout_compare(cfg, steps=60, seed=4)
 
 
+def test_scan_channel_loop_parity():
+    """C > CHANNEL_UNROLL_MAX switches the per-channel walk to lax.scan
+    (the 50-resource scale path); numerics must stay bit-exact."""
+    assert 12 > jenv.CHANNEL_UNROLL_MAX
+    cfg = dataclasses.replace(
+        toy_4ue_3r().env, num_users=16, num_channels=12, highway_length=400
+    )
+    rollout_compare(cfg, steps=30, seed=42)
+    cfg2 = dataclasses.replace(cfg, communication_range=80.0)
+    rollout_compare(cfg2, steps=30, seed=43, flavor="channel")
+    rollout_compare(cfg2, steps=30, seed=44, flavor="design")
+
+
 @pytest.mark.parametrize("design", [1, 2, 3, 4, 5])
 def test_reward_designs(design):
     cfg = dataclasses.replace(toy_4ue_3r().env, reward_design=design)
