@@ -147,13 +147,17 @@ def bench_train_loop(num_envs: int = 256, chunk: int = 100):
     def run_chunk(carry, t0, n):
         return jax.lax.scan(slot_step, carry, t0 + jnp.arange(n))
 
+    # time slots past batch_size+10 so the episodic train branch actually
+    # fires (main_test.py:235 gate) -- timing the pre-training regime
+    # overstates throughput by a large factor.
+    t0 = cfg.agent.batch_size + 100
     t = time.perf_counter()
-    carry, _ = run_chunk(carry, jnp.asarray(0), chunk)
+    carry, _ = run_chunk(carry, jnp.asarray(t0), chunk)
     jax.block_until_ready(carry)
     log(f"train-loop compile+first: {time.perf_counter() - t:.1f}s")
     t = time.perf_counter()
-    carry, logs = run_chunk(carry, jnp.asarray(chunk), chunk)
-    jax.block_until_ready(carry)
+    carry, logs = run_chunk(carry, jnp.asarray(t0 + chunk), chunk)
+    r = float(logs["sum_reward"].sum())  # force completion through a transfer
     dt = time.perf_counter() - t
     log(f"train loop (toy, B={num_envs}, batch512x2/episode): "
         f"{chunk / dt:,.0f} slots/s, {num_envs * chunk / dt:,.0f} env-slots/s")

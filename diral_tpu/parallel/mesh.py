@@ -71,6 +71,7 @@ def carry_shardings(carry, mesh: Mesh):
         replay=jax.tree.map(env, carry.replay),
         learner=learner_shardings(carry.learner, mesh),
         eps_state=jax.tree.map(lambda x: repl, carry.eps_state),
+        beta=repl,
         sum_ia_prev=env(carry.sum_ia_prev),
         ia_counter=env(carry.ia_counter),
         prev_actions=env(carry.prev_actions),

@@ -43,8 +43,16 @@ def cmd_train(args):
     cfg = _load(args)
     from diral_tpu.train.runner import run_all_simulations
 
-    run_all_simulations(cfg, workdir=args.workdir, seed=args.seed,
-                        resume=args.resume)
+    if args.profile:
+        import jax
+
+        with jax.profiler.trace(args.profile):
+            run_all_simulations(cfg, workdir=args.workdir, seed=args.seed,
+                                resume=args.resume)
+        print(f"profiler trace written to {args.profile}")
+    else:
+        run_all_simulations(cfg, workdir=args.workdir, seed=args.seed,
+                            resume=args.resume)
 
 
 def cmd_train_ppo(args):
@@ -121,6 +129,8 @@ def main(argv=None):
     sp.add_argument("--slots", type=int, default=None)
     sp.add_argument("--workdir", default=".")
     sp.add_argument("--resume", action="store_true")
+    sp.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace into DIR")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("train-ppo", help="on-policy PPO training")

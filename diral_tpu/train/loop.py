@@ -55,6 +55,7 @@ class TrainCarry(struct.PyTreeNode):
     replay: WindowReplay           # batched [B, S, ...]
     learner: drqn.DRQNLearner      # shared across envs
     eps_state: pol.EpsGreedyState
+    beta: jax.Array                # scalar; boltzman anneal state (unused otherwise)
     sum_ia_prev: jax.Array         # [B]
     ia_counter: jax.Array          # [B, N] int32
     prev_actions: jax.Array        # [B, N] int32
@@ -84,19 +85,28 @@ def sample_windows_cross_env(replay: WindowReplay, key, batch: int, step: int):
     }
 
 
-def make_train_functions(cfg: ExperimentConfig, dtype=jnp.float32):
-    """Build (init_fn, slot_fn, run_fn) for the experiment config."""
+def make_train_functions(cfg: ExperimentConfig, dtype=jnp.float32, trace=None):
+    """Build (init_fn, slot_fn, run_fn) for the experiment config.
+
+    ``trace``: optional [T_rec, N] recorded x-position array replayed into
+    the env (the reference's load_positions fixture path,
+    main_test.py:118 -> network.py:171-199)."""
     env_cfg = cfg.env
     acfg = cfg.agent
     B = cfg.engine.num_envs
     N, C, D = env_cfg.num_users, env_cfg.num_channels, env_cfg.state_space
     T = acfg.step_size
     step_env = E.step_channel if cfg.enable_channel else E.step_collision
+    trace = None if trace is None else jnp.asarray(trace, dtype)
 
     v_reset = jax.vmap(lambda k: E.reset(env_cfg, k, dtype))
-    v_step = jax.vmap(lambda s, a, t: step_env(env_cfg, s, a, t), in_axes=(0, 0, None))
+    v_step = jax.vmap(
+        lambda s, a, t: step_env(env_cfg, s, a, t, trace=trace),
+        in_axes=(0, 0, None),
+    )
     v_step_design = jax.vmap(
-        lambda s, a, t: E.step_design(env_cfg, s, a, t), in_axes=(0, 0, None)
+        lambda s, a, t: E.step_design(env_cfg, s, a, t, trace=trace),
+        in_axes=(0, 0, None),
     )
     v_obtain = jax.vmap(
         lambda s, o, a, r, ep, eps: E.obtain_state(env_cfg, s, o, a, r, ep, eps),
@@ -105,6 +115,14 @@ def make_train_functions(cfg: ExperimentConfig, dtype=jnp.float32):
     v_sample = jax.vmap(lambda k: E.sample_actions(env_cfg, k))
     v_add = jax.vmap(WindowReplay.add)
     v_ia = jax.vmap(E.information_age, in_axes=(0, None))
+
+    # softmax temperature anneal over total episodes (drl_drqn.py:99,
+    # main_test.py:60: total_episodes = time_slots / episode_interval)
+    softmax_schedule = jnp.asarray(
+        pol.softmax_temperature_schedule(
+            acfg.temperature, max(cfg.time_slots // cfg.episode_interval, 1)
+        )
+    )
 
     def qvalues(learner, history):
         """history [B, T, N, D] -> Q [B, N, A]: one forward for all agents of
@@ -160,6 +178,7 @@ def make_train_functions(cfg: ExperimentConfig, dtype=jnp.float32):
             replay=replay,
             learner=learner,
             eps_state=pol.eps_greedy_init(acfg.eps_init),
+            beta=jnp.asarray(acfg.beta, jnp.float32),
             sum_ia_prev=jnp.zeros((B,), dtype),
             ia_counter=jnp.zeros((B, N), jnp.int32),
             prev_actions=jnp.full((B, N), -1, jnp.int32),
@@ -184,12 +203,38 @@ def make_train_functions(cfg: ExperimentConfig, dtype=jnp.float32):
         episode = (t // cfg.episode_interval).astype(jnp.int32)
 
         eps_state = pol.eps_greedy_update(carry.eps_state, episode, acfg.eps_decay)
+        beta_state = pol.boltzman_update(pol.BoltzmanState(beta=carry.beta), t)
         q = qvalues(carry.learner, carry.history)  # [B, N, A]
-        actions = jax.vmap(
-            lambda k, qb: pol.driver_mode_actions(
-                k, qb, eps_state, t, cfg.explore, cfg.greedy
-            )
-        )(jax.random.split(k_act, B), q).astype(jnp.int32)
+
+        # Slot-indexed mode switch (main_test.py:127-136); with load_model
+        # the reference skips straight to greedy (the `not load_model`
+        # guards).  The middle band uses the configured policy
+        # (drl_drqn.py:97-106).
+        explore_until = 0 if cfg.load_model else cfg.explore
+        greedy_after = 0 if cfg.load_model else cfg.greedy
+
+        def select(k, qb):
+            ke, kp = jax.random.split(k)
+            rand = pol.random_action(ke, N, C)
+            if acfg.policy == "softmax":
+                mid, _ = pol.softmax_action(kp, qb, softmax_schedule, episode,
+                                            acfg.temperature)
+            elif acfg.policy == "boltzman":
+                mid = pol.boltzman_action(
+                    kp, qb, beta_state, t,
+                    explore_start=acfg.explore_start,
+                    explore_stop=acfg.explore_stop,
+                    decay_rate=acfg.decay_rate, alpha=acfg.alpha,
+                )
+            elif acfg.policy == "eps_greedy":
+                mid = pol.eps_greedy_action(kp, qb, eps_state.eps)
+            else:
+                mid = pol.greedy_action(qb)
+            greedy = pol.greedy_action(qb)
+            return jnp.where(t < explore_until, rand,
+                             jnp.where(t < greedy_after, mid, greedy))
+
+        actions = jax.vmap(select)(jax.random.split(k_act, B), q).astype(jnp.int32)
 
         env_state, obs, rewards = v_step(carry.env_state, actions, t)
 
@@ -240,8 +285,8 @@ def make_train_functions(cfg: ExperimentConfig, dtype=jnp.float32):
         carry = TrainCarry(
             env_state=env_state, history=history, state=next_state,
             replay=replay, learner=learner, eps_state=eps_state,
-            sum_ia_prev=sum_ia_prev, ia_counter=ia_counter,
-            prev_actions=prev_actions, key=key,
+            beta=beta_state.beta, sum_ia_prev=sum_ia_prev,
+            ia_counter=ia_counter, prev_actions=prev_actions, key=key,
         )
         logs = {
             "sum_reward": sum_r,            # [B] raw per-slot sum (main_test.py:171)

@@ -28,7 +28,14 @@ def train_experiment(cfg: ExperimentConfig, workdir: str = ".",
                      resume: bool = False, simulation: int = 0,
                      dtype=jnp.float32, verbose: bool = True):
     """Run one simulation of the experiment. Returns (carry, logs dict)."""
-    init_carry, slot_step, _ = make_train_functions(cfg, dtype)
+    trace = None
+    if cfg.env.load_positions:
+        # recorded-mobility replay fixture (main_test.py:118 ->
+        # network.py:171-199)
+        trace = np.load(cfg.env.load_file_pos)
+        if verbose:
+            print(f"Load the saved positions !!! ({trace.shape})")
+    init_carry, slot_step, _ = make_train_functions(cfg, dtype, trace=trace)
     chunk = chunk_size or max(1, min(cfg.save_freq, 5000))
 
     @partial(jax.jit, static_argnames=("n",))
