@@ -38,7 +38,9 @@ def train_experiment(cfg: ExperimentConfig, workdir: str = ".",
     init_carry, slot_step, _ = make_train_functions(cfg, dtype, trace=trace)
     chunk = chunk_size or max(1, min(cfg.save_freq, 5000))
 
-    @partial(jax.jit, static_argnames=("n",))
+    # donate the carry: the old training state (env, replay, params) is dead
+    # after each chunk, so XLA reuses its buffers in place (no HBM copies)
+    @partial(jax.jit, static_argnames=("n",), donate_argnums=(0,))
     def run_chunk(carry, t0, n: int):
         return jax.lax.scan(slot_step, carry, t0 + jnp.arange(n))
 
