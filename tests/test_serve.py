@@ -1,0 +1,60 @@
+"""Serve-and-learn over the gateway: a PS-DRQN agent trains online against
+the in-repo C++ simulator (the reference's intended-but-never-runnable
+RealNeS training mode)."""
+
+import dataclasses
+import shutil
+
+import numpy as np
+import jax
+import pytest
+
+from diral_tpu.config import toy_4ue_3r
+from diral_tpu.interop.gateway_env import GatewayEnv
+from diral_tpu.interop.serve import SNAlignedEpisodes, serve_and_learn
+from diral_tpu.agents import ps_drqn
+
+needs_gxx = pytest.mark.skipif(shutil.which("g++") is None, reason="no g++")
+
+
+def test_sn_alignment_set_once_and_completeness():
+    ep = SNAlignedEpisodes(num_agents=2, capacity=8, state_dim=3)
+    ep.record_obs_act(0, 0, np.ones(3), 2)
+    ep.record_obs_act(0, 0, np.zeros(3), 1)  # set-once: ignored
+    np.testing.assert_array_equal(ep.states[0, 0], np.ones(3))
+    assert ep.actions[0, 0] == 2
+    # no reward yet -> slot incomplete -> flush produces nothing
+    rep = ps_drqn.EpisodeReplay.create(2, max_len=8, state_dim=3)
+    rep2 = ep.flush(rep)
+    assert int(rep2.count) == 0
+    # obs/act again + delayed reward -> complete
+    ep.record_obs_act(0, 1, np.full(3, 2.0), 0)
+    ep.record_reward(0, 1, 0.5)
+    rep3 = ep.flush(rep)
+    assert int(rep3.count) == 1
+    assert int(rep3.lengths[0]) == 1
+    np.testing.assert_allclose(float(rep3.rewards[0, 0]), 0.5)
+
+
+@needs_gxx
+def test_serve_and_learn_end_to_end():
+    cfg = toy_4ue_3r().agent
+    cfg = dataclasses.replace(
+        cfg, batch_size=4, unroll_step=4, target_update=8,
+        network=dataclasses.replace(cfg.network, use_lstm_input=False,
+                                    use_dueling=False, layers=(16, 16)),
+    )
+    env = GatewayEnv(port=0, sim_start=True, sim_users=4, sim_channels=3,
+                     sim_rounds=80, sim_seed=3, state_design=2, pos_dist=2,
+                     state_bins=10, state_range=250, reward_design=2)
+    try:
+        learner, stats = serve_and_learn(env, cfg, rounds=75, train_every=15,
+                                         n_batches=2, eps=0.3)
+        assert stats["train_calls"] >= 4
+        assert np.isfinite(stats["losses"]).all()
+        assert -1.0 <= stats["mean_reward"] <= 1.0
+        env.bridge.restart_env()
+        env.sim_process.wait(timeout=10)
+        env.sim_process = None
+    finally:
+        env.close()
