@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from diral_tpu.config import ExperimentConfig, EnvConfig
 from diral_tpu.agents import policies as pol
-from diral_tpu.agents.sps import SPSState, sps_init, sps_step, toy_rssi
+from diral_tpu.agents.sps import sps_init, sps_step, toy_rssi
 from diral_tpu.envs import v2v_env as E
 from diral_tpu.models import qnets
 from diral_tpu.ops.distance import pairwise_distances

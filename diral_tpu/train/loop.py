@@ -44,7 +44,7 @@ from flax import struct
 from diral_tpu.config import ExperimentConfig
 from diral_tpu.agents import drqn
 from diral_tpu.agents import policies as pol
-from diral_tpu.agents.replay import WindowReplay, _uniform_without_replacement
+from diral_tpu.agents.replay import WindowReplay
 from diral_tpu.envs import v2v_env as E
 
 

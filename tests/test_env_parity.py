@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from diral_tpu.config import EnvConfig, StateConfig, toy_4ue_3r
+from diral_tpu.config import toy_4ue_3r
 from diral_tpu.envs import oracle as onp
 from diral_tpu.envs import v2v_env as jenv
 

@@ -3,7 +3,6 @@ Python bridge over the framed-TCP protobuf protocol (reference L0,
 envs/realness_bridge.py + the absent external simulator -- here present)."""
 
 import shutil
-import subprocess
 
 import numpy as np
 import pytest
@@ -11,7 +10,6 @@ import pytest
 from diral_tpu.interop import ma_messages_pb2 as pb
 from diral_tpu.interop.gateway_env import (
     GatewayEnv,
-    build_simulator,
     neighbor_dist_type2,
     prr_to_reward,
 )

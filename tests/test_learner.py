@@ -11,7 +11,7 @@ import jax.numpy as jnp
 from diral_tpu.config import toy_4ue_3r
 from diral_tpu.agents import drqn
 from diral_tpu.models import qnets
-from diral_tpu.train.loop import make_train_functions, run_experiment
+from diral_tpu.train.loop import run_experiment
 
 
 def small_cfg(**over):

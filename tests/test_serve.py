@@ -6,7 +6,6 @@ import dataclasses
 import shutil
 
 import numpy as np
-import jax
 import pytest
 
 from diral_tpu.config import toy_4ue_3r
