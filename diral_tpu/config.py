@@ -119,6 +119,9 @@ class NetworkConfig:
     layers: tuple[int, ...] = (256, 256)
     activation: str = "relu"
     use_conv: bool = False
+    # "bfloat16" casts activations/weights for the matmuls (f32 master
+    # params, f32 accumulation) -- the TPU MXU's native fast path.
+    compute_dtype: str = "float32"
     # cuDNN_support / num_gpu are accepted from reference YAML and ignored:
     # device placement is the mesh's concern here.
 

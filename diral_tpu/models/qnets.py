@@ -97,16 +97,37 @@ def drqn_init(key, state_dim: int, action_dim: int, cfg: AgentConfig,
 
 
 def drqn_apply(params, x, cfg: AgentConfig):
-    """x: [B, T, D] (LSTM path) or [B, D] (MLP path) -> Q [B, A]."""
+    """x: [B, T, D] (LSTM path) or [B, D] (MLP path) -> Q [B, A].
+
+    With ``network.compute_dtype == "bfloat16"`` the activations and weights
+    are cast to bf16 for the matmuls (master params stay f32; layer_norm and
+    the Q head output compute in f32) -- the MXU fast path."""
+    bf16 = cfg.network.compute_dtype == "bfloat16"
+    if bf16:
+        cast = lambda t: jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if a.dtype == jnp.float32 else a, t
+        )
+        params = {k: (cast(v) if k in ("lstm", "fc1", "fc2", "fc3", "head")
+                      else v) for k, v in params.items()}
+        x = x.astype(jnp.bfloat16)
+
+    def norm(ln, h):
+        # layer_norm statistics in f32 even under bf16 compute
+        if bf16:
+            return layer_norm(ln, h.astype(jnp.float32)).astype(jnp.bfloat16)
+        return layer_norm(ln, h)
+
     if cfg.network.use_lstm_input:
         _, hs = lstm_scan(params["lstm"], x)
         h = hs[:, -1, :]
     else:
-        h = layer_norm(params["ln1"], jax.nn.relu(dense(params["fc1"], x)))
-    h = layer_norm(params["ln2"], jax.nn.relu(dense(params["fc2"], h)))
+        h = norm(params["ln1"], jax.nn.relu(dense(params["fc1"], x)))
+    h = norm(params["ln2"], jax.nn.relu(dense(params["fc2"], h)))
     if "fc3" in params:
-        h = layer_norm(params["ln3"], jax.nn.relu(dense(params["fc3"], h)))
-    return dense(params["head"], h)
+        h = norm(params["ln3"], jax.nn.relu(dense(params["fc3"], h)))
+    out = dense(params["head"], h)
+    return out.astype(jnp.float32) if bf16 else out
 
 
 # ---------------------------------------------------------------------------
