@@ -77,6 +77,8 @@ def main():
     try:
         bench_scale()
         bench_train_loop()
+        if len(jax.devices()) > 1:
+            bench_scaling()
     except Exception as e:  # secondary diagnostics must not kill the headline
         log("secondary bench failed:", repr(e))
 
@@ -161,6 +163,55 @@ def bench_train_loop(num_envs: int = 256, chunk: int = 100):
     dt = time.perf_counter() - t
     log(f"train loop (toy, B={num_envs}, batch512x2/episode): "
         f"{chunk / dt:,.0f} slots/s, {num_envs * chunk / dt:,.0f} env-slots/s")
+
+
+def bench_scaling(per_device_envs: int = 1024, chunk: int = 64):
+    """Weak-scaling sweep over device counts (stderr): fixed envs/device,
+    sharded over a data mesh; efficiency = rate(n) / (n * rate(1)).
+    Only meaningful with >1 device (a pod slice); the BASELINE target is
+    >= 80% at n >= 2 hosts."""
+    import dataclasses
+    from diral_tpu.config import toy_4ue_3r
+    from diral_tpu.parallel.mesh import make_mesh, shard_carry, carry_shardings
+    from diral_tpu.train.loop import make_train_functions
+    from functools import partial
+
+    counts = []
+    n = 1
+    while n <= len(jax.devices()):
+        counts.append(n)
+        n *= 2
+    rates = {}
+    for n in counts:
+        cfg = toy_4ue_3r(save_positions=False, explore=0, memory_size=256)
+        cfg = dataclasses.replace(
+            cfg, agent=dataclasses.replace(cfg.agent, batch_size=128),
+            engine=dataclasses.replace(cfg.engine,
+                                       num_envs=per_device_envs * n),
+        )
+        init_carry, slot_step, _ = make_train_functions(cfg)
+        carry = jax.jit(init_carry)(jax.random.PRNGKey(0))
+        mesh = make_mesh(n)
+        with mesh:
+            carry = shard_carry(carry, mesh)
+            sh = carry_shardings(carry, mesh)
+
+            @partial(jax.jit, static_argnames=("m",),
+                     in_shardings=(sh, None), out_shardings=(sh, None))
+            def run_chunk(carry, t0, m: int):
+                return jax.lax.scan(slot_step, carry, t0 + jnp.arange(m))
+
+            t0 = cfg.agent.batch_size + 100
+            carry, _ = run_chunk(carry, jnp.asarray(t0), chunk)
+            jax.block_until_ready(carry)
+            t = time.perf_counter()
+            carry, logs = run_chunk(carry, jnp.asarray(t0 + chunk), chunk)
+            r = float(logs["sum_reward"].sum())
+            dt = time.perf_counter() - t
+        rates[n] = per_device_envs * n * chunk / dt
+        eff = rates[n] / (n * rates[1]) if 1 in rates else float("nan")
+        log(f"scaling n={n}: {rates[n]:,.0f} env-slots/s "
+            f"(efficiency {eff:.0%})")
 
 
 if __name__ == "__main__":
