@@ -128,16 +128,21 @@ def train_on_batch(learner: DRQNLearner, batch, cfg: AgentConfig, num_users: int
 
 
 def train(learner: DRQNLearner, replay, key, time_step, cfg: AgentConfig,
-          num_users: int):
+          num_users: int, sample_fn=None):
     """The reference ``train`` call (drl_drqn.py:199-265): ``n_batch``
     sampled-batch gradient steps, then a target sync when
-    (time_step + 1) % target_update == 0.  Pure; usable inside scan."""
+    (time_step + 1) % target_update == 0.  Pure; usable inside scan.
+
+    ``sample_fn(key) -> batch`` overrides the sampler (the training loop
+    passes its cross-env window sampler); default is the single-replay
+    window sampler."""
     step = cfg.step_size if cfg.network.use_lstm_input else 1
+    if sample_fn is None:
+        sample_fn = lambda k: replay.sample_windows(k, cfg.batch_size, step)
     loss = jnp.zeros((), jnp.float32)
     for k in range(cfg.n_batch):
         key, kb = jax.random.split(key)
-        batch = replay.sample_windows(kb, cfg.batch_size, step)
-        learner, loss = train_on_batch(learner, batch, cfg, num_users)
+        learner, loss = train_on_batch(learner, sample_fn(kb), cfg, num_users)
     sync = (time_step + 1) % cfg.target_update == 0
     target = jax.tree.map(
         lambda t, p: jnp.where(sync, p, t), learner.target_params, learner.params

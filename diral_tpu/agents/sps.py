@@ -59,7 +59,13 @@ def sps_init(key, num_users: int, num_channels: int) -> SPSState:
 def _choose_new_resource(key, rssi, prev_action, rssi_threshold):
     """One agent's candidate selection (v2x_sps.py:24-74). rssi: [C]."""
     c = rssi.shape[0]
-    min_sa = c // 5  # Python2 integer division of len/5 (v2x_sps.py:39)
+    if c == 1:  # degenerate one-resource window: nothing to reselect
+        return jnp.zeros((), jnp.int32)
+    # 20% of the window (Python2 integer division, v2x_sps.py:39), floored
+    # at 1: with C < 5 the reference's min_sA = 0 makes it crash on an empty
+    # shortlist; requiring at least one candidate also keeps the +3 dB
+    # relaxation loop meaningful on small windows.
+    min_sa = max(c // 5, 1)
     not_prev = jnp.arange(c) != prev_action
 
     def enough(thr):
@@ -77,10 +83,9 @@ def _choose_new_resource(key, rssi, prev_action, rssi_threshold):
     masked = jnp.where(candidates, rssi, jnp.inf)
     order = jnp.argsort(masked)  # stable
     # shortlist = first min(min_sA, |sA|) of the ascending-RSSI ranking
-    # (v2x_sps.py:54-58).  The reference crashes on C < 5 windows (min_sA = 0
-    # -> empty shortlist -> random.choice([])); here the shortlist is clamped
-    # to one entry, i.e. the best-RSSI non-previous channel.
-    shortlist_len = jnp.minimum(jnp.maximum(min_sa, 1), jnp.maximum(n_cand, 1))
+    # (v2x_sps.py:54-58); the while_loop above guarantees n_cand >= min_sa
+    # >= 1 so the shortlist is never empty and never contains prev_action.
+    shortlist_len = jnp.minimum(min_sa, n_cand)
     pick = jax.random.randint(key, (), 0, shortlist_len)
     return order[pick].astype(jnp.int32)
 

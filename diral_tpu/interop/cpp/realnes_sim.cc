@@ -32,6 +32,7 @@
 
 #include <atomic>
 #include <cmath>
+#include <mutex>
 #include <cstdint>
 #include <cstring>
 #include <iostream>
@@ -114,6 +115,7 @@ struct World {
   std::vector<std::vector<float>> tx, ty;
   std::vector<std::vector<int>> tseq, tage;
   std::vector<float> reward;
+  std::mutex reward_mu;  // guards reward: collector thread reads concurrently
   std::mt19937 rng;
 
   World(int n_, int c_, double len, double range, uint32_t seed)
@@ -166,10 +168,11 @@ struct World {
 
     // Raw PRR per transmitter -- the agent side maps PRR -> reward
     // (realness_env.py:377-394), as the real RealNeS reported raw PRR.
+    std::vector<float> new_reward(n, 0.f);
     for (int u = 0; u < n; ++u) {
       int ch = actions[u];
       if (count[ch] == 1) {
-        reward[u] = 1.0f;
+        new_reward[u] = 1.0f;
         continue;
       }
       int in_range = 0, received = 0;
@@ -191,7 +194,11 @@ struct World {
         if (best_tx == u) received += 1;
       }
       float prr = in_range > 0 ? static_cast<float>(received) / in_range : 1.0f;
-      reward[u] = prr;
+      new_reward[u] = prr;
+    }
+    {
+      std::lock_guard<std::mutex> lock(reward_mu);
+      reward = new_reward;
     }
 
     // receivers merge from their closest in-range transmitter per channel
@@ -240,11 +247,14 @@ void reward_collector(int port, World* world, std::atomic<bool>* stop) {
     std::string req;
     while (recv_frame(fd, &req)) {
       MA_RewardSentAll all;
-      for (int u = 0; u < world->n; ++u) {
-        MA_RewardSent* r = all.add_all_rewards();
-        r->set_user_id(u);
-        r->set_sn(0);
-        r->set_reward(world->reward[u]);
+      {
+        std::lock_guard<std::mutex> lock(world->reward_mu);
+        for (int u = 0; u < world->n; ++u) {
+          MA_RewardSent* r = all.add_all_rewards();
+          r->set_user_id(u);
+          r->set_sn(0);
+          r->set_reward(world->reward[u]);
+        }
       }
       if (!send_frame(fd, all.SerializeAsString())) break;
     }

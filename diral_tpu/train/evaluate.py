@@ -55,12 +55,11 @@ def prr_per_user(cfg: EnvConfig, state: E.EnvState, actions):
     return jnp.where(in_range > 0, received / jnp.maximum(in_range, 1), 1.0)
 
 
-def _rollout_metrics(cfg: ExperimentConfig, act_fn, carry_init, steps: int,
-                     key, dtype=jnp.float32):
+def _rollout_metrics(cfg: ExperimentConfig, act_fn, carry_init, steps: int):
     """Generic greedy-rollout metric collector over one env instance batch.
 
     act_fn(actor_carry, env_state, history, key, t) -> (actions [B, N],
-    actor_carry')."""
+    actor_carry'); the RNG key travels inside carry_init."""
     env_cfg = cfg.env
     B = cfg.engine.num_envs
     N, D = env_cfg.num_users, env_cfg.state_space
@@ -89,7 +88,6 @@ def _rollout_metrics(cfg: ExperimentConfig, act_fn, carry_init, steps: int,
             "colliding_users": jax.vmap(
                 lambda a: (jnp.bincount(a, length=env_cfg.num_channels) > 1)[a].sum()
             )(actions).mean(),
-            "actions": actions,
         }
         return (env_state, history, actor, k), logs
 
@@ -120,7 +118,7 @@ def evaluate_drqn(cfg: ExperimentConfig, learner, key, steps: int = 500,
         return pol.greedy_action(q.reshape(B, N, -1)), actor
 
     run = jax.jit(partial(_rollout_metrics, cfg, act), static_argnums=(1,))
-    return jax.tree.map(float, run((env_state, history, (), k_run), steps, k_run))
+    return jax.tree.map(float, run((env_state, history, (), k_run), steps))
 
 
 def evaluate_sps(cfg: ExperimentConfig, key, steps: int = 500,
@@ -150,7 +148,7 @@ def evaluate_sps(cfg: ExperimentConfig, key, steps: int = 500,
 
     run = jax.jit(partial(_rollout_metrics, cfg, act), static_argnums=(1,))
     return jax.tree.map(
-        float, run((env_state, history, (sps0, last_actions), k_run), steps, k_run)
+        float, run((env_state, history, (sps0, last_actions), k_run), steps)
     )
 
 

@@ -137,6 +137,15 @@ def make_train_functions(cfg: ExperimentConfig, dtype=jnp.float32, trace=None):
         q = qnets.drqn_apply(learner.params, x, acfg)
         return q.reshape(B, N, -1)
 
+    # Warmup always uses the collision step (main_test.py:92 calls my_step
+    # unconditionally); pretrain uses my_step_ch when enable_channel else
+    # my_step_design (main_test.py:101-107).
+    v_warmup = jax.vmap(
+        lambda s, a, t: E.step_collision(env_cfg, s, a, t, trace=trace),
+        in_axes=(0, 0, None),
+    )
+    v_pretrain = v_step if cfg.enable_channel else v_step_design
+
     def init_carry(key) -> TrainCarry:
         k_env, k_act, k_pre, k_rest = jax.random.split(key, 4)
         env_state = v_reset(jax.random.split(k_env, B))
@@ -144,7 +153,7 @@ def make_train_functions(cfg: ExperimentConfig, dtype=jnp.float32, trace=None):
         # Warmup step (main_test.py:89-94): random action, collision step,
         # first state; its rewards are the stale ones reused all pretrain.
         a0 = v_sample(jax.random.split(k_act, B))
-        env_state, obs0, rews0 = v_step(env_state, a0, 0)
+        env_state, obs0, rews0 = v_warmup(env_state, a0, 0)
         state0 = v_obtain(env_state, obs0, a0, rews0, 0, float(acfg.eps_init))
 
         replay = jax.vmap(
@@ -158,7 +167,7 @@ def make_train_functions(cfg: ExperimentConfig, dtype=jnp.float32, trace=None):
         def pretrain_body(carry, k):
             env_state, state, replay, history = carry
             acts = v_sample(jax.random.split(k, B))
-            env_state, obs, _ = v_step_design(env_state, acts, 0)
+            env_state, obs, _ = v_pretrain(env_state, acts, 0)
             nxt = v_obtain(env_state, obs, acts, rews0, 0, float(acfg.eps_init))
             replay = v_add(replay, state, acts, rews0, nxt)
             history = jnp.roll(history, -1, axis=1).at[:, -1].set(nxt)
@@ -187,24 +196,16 @@ def make_train_functions(cfg: ExperimentConfig, dtype=jnp.float32, trace=None):
 
     def train_call(learner, replay, key, t):
         step = T if acfg.network.use_lstm_input else 1
-        for _ in range(acfg.n_batch):
-            key, kb = jax.random.split(key)
-            batch = sample_windows_cross_env(replay, kb, acfg.batch_size, step)
-            learner, loss = drqn.train_on_batch(learner, batch, acfg, N)
-        sync = (t + 1) % acfg.target_update == 0
-        target = jax.tree.map(
-            lambda tp, p: jnp.where(sync, p, tp), learner.target_params,
-            learner.params,
+        return drqn.train(
+            learner, replay, key, t, acfg, N,
+            sample_fn=lambda k: sample_windows_cross_env(
+                replay, k, acfg.batch_size, step
+            ),
         )
-        return learner.replace(target_params=target), loss
 
     def slot_step(carry: TrainCarry, t):
-        key, k_act, k_train = jax.random.split(carry.key, 3)
+        key, k_act, k_vel, k_train = jax.random.split(carry.key, 4)
         episode = (t // cfg.episode_interval).astype(jnp.int32)
-
-        eps_state = pol.eps_greedy_update(carry.eps_state, episode, acfg.eps_decay)
-        beta_state = pol.boltzman_update(pol.BoltzmanState(beta=carry.beta), t)
-        q = qvalues(carry.learner, carry.history)  # [B, N, A]
 
         # Slot-indexed mode switch (main_test.py:127-136); with load_model
         # the reference skips straight to greedy (the `not load_model`
@@ -212,6 +213,20 @@ def make_train_functions(cfg: ExperimentConfig, dtype=jnp.float32, trace=None):
         # (drl_drqn.py:97-106).
         explore_until = 0 if cfg.load_model else cfg.explore
         greedy_after = 0 if cfg.load_model else cfg.greedy
+
+        # Epsilon decays only while the eps-greedy policy is actually
+        # consulted: the reference's explore band returns before
+        # policy.action (drl_drqn.py:167-169) and the greedy band bypasses
+        # it (main_test.py:136), so EpsilonGreedy.update_eps never fires
+        # there (policies.py:45-48).
+        in_mid_band = (t >= explore_until) & (t < greedy_after)
+        decayed = pol.eps_greedy_update(carry.eps_state, episode, acfg.eps_decay)
+        eps_state = jax.tree.map(
+            lambda new, old: jnp.where(in_mid_band, new, old),
+            decayed, carry.eps_state,
+        )
+        beta_state = pol.boltzman_update(pol.BoltzmanState(beta=carry.beta), t)
+        q = qvalues(carry.learner, carry.history)  # [B, N, A]
 
         def select(k, qb):
             ke, kp = jax.random.split(k)
@@ -265,13 +280,31 @@ def make_train_functions(cfg: ExperimentConfig, dtype=jnp.float32, trace=None):
         replay = v_add(carry.replay, carry.state, actions, shaped, next_state)
         history = jnp.roll(carry.history, -1, axis=1).at[:, -1].set(next_state)
 
+        # Per-episode velocity randomization at episode end
+        # (main_test.py:226-233 calls env.update_velocity(); no-op unless
+        # mobility_vary, test_env.py:498-504).
+        if env_cfg.mobility_vary:
+            episode_end = t % cfg.episode_interval == cfg.episode_interval - 1
+            kicked = jax.vmap(lambda s, k: E.update_velocity(env_cfg, s, k))(
+                env_state, jax.random.split(k_vel, B)
+            )
+            env_state = env_state.replace(
+                vel=jnp.where(episode_end, kicked.vel, env_state.vel)
+            )
+
+        window = T if acfg.network.use_lstm_input else 1
         if cfg.train_after_episode:
             do_train = (
                 (t % cfg.episode_interval == cfg.episode_interval - 1)
                 & (t > acfg.batch_size + 10)
             )
         else:
-            do_train = t < cfg.training_stop
+            # Gate per-slot training on buffer fill: the reference would
+            # raise in np.random.choice(replace=False) on an underfull
+            # buffer (memory.py:184); here an ungated call would silently
+            # pad the batch with zero-initialized windows.
+            enough = (replay.count[0] - window) * B >= acfg.batch_size
+            do_train = (t < cfg.training_stop) & enough
         if not cfg.training:
             do_train = jnp.asarray(False)
 
@@ -293,7 +326,10 @@ def make_train_functions(cfg: ExperimentConfig, dtype=jnp.float32, trace=None):
             "actions": actions,             # [B, N]
             "loss": loss,
             "eps": eps_state.eps,
-            "pos_x": env_state.pos_x if cfg.save_positions else jnp.zeros((0,)),
+            # pre-step positions, as the reference logs them before my_step
+            # (main_test.py:140-142)
+            "pos_x": carry.env_state.pos_x if cfg.save_positions
+            else jnp.zeros((0,)),
         }
         return carry, logs
 
