@@ -1,0 +1,83 @@
+"""Regression tests for driver-semantics details surfaced in review:
+velocity kicks fire at episode ends under mobility_vary; pretrain uses the
+channel-model step when enable_channel; buffer-fill gate for per-slot
+training cadence."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from diral_tpu.config import toy_4ue_3r
+from diral_tpu.train.loop import make_train_functions
+
+
+def tiny(**over):
+    cfg = toy_4ue_3r(
+        time_slots=120, memory_size=128, explore=10, greedy=100000,
+        training=True, train_after_episode=True, save_positions=False,
+    )
+    agent = dataclasses.replace(
+        cfg.agent, batch_size=16, n_batch=1, target_update=25,
+        network=dataclasses.replace(cfg.agent.network, layers=(16, 16)),
+    )
+    return dataclasses.replace(cfg, agent=agent, **over)
+
+
+def test_velocity_kicks_fire_under_mobility_vary():
+    """main_test.py:233 calls env.update_velocity() every episode end;
+    with mobility_vary velocities must change (+-0.55 kicks) over episodes
+    and stay clamped to [1.1, 2.77]."""
+    cfg = tiny()
+    cfg = dataclasses.replace(
+        cfg, env=dataclasses.replace(cfg.env, mobility_vary=True)
+    )
+    init_carry, slot_step, run = make_train_functions(cfg)
+    carry, logs = run(jax.random.PRNGKey(0), 120)
+    vel = np.asarray(carry.env_state.vel)
+    # initial mobility_vary velocity is 1.7 everywhere (network.py:108);
+    # after 4 episode ends some vehicle must have moved off it
+    assert not np.allclose(vel, 1.7), vel
+    assert (vel >= 1.1 - 1e-6).all() and (vel <= 2.77 + 1e-6).all()
+    # off-episode slots don't change velocities
+    carry2 = carry
+    c3, _ = jax.jit(slot_step)(carry2, jnp.asarray(121))  # 121 % 25 != 24
+    np.testing.assert_array_equal(np.asarray(c3.env_state.vel), vel)
+
+
+def test_pretrain_uses_channel_step_when_enabled():
+    """Reference pretrain calls my_step_ch when enable_channel
+    (main_test.py:101-103); only the channel step records packet-arrival
+    slots (test_env.py:434-436), so last_arrival must contain non-negative
+    entries right after init."""
+    cfg = tiny(enable_channel=True)
+    cfg = dataclasses.replace(
+        cfg, env=dataclasses.replace(cfg.env, communication_range=250.0)
+    )
+    init_carry, _, _ = make_train_functions(cfg)
+    carry = jax.jit(init_carry)(jax.random.PRNGKey(0))
+    assert (np.asarray(carry.env_state.last_arrival) >= 0).any()
+
+    # whereas the design-step pretrain (enable_channel False) never sets
+    # arrivals -- everything stays -1 or gets reset to -1
+    cfg2 = tiny(enable_channel=False)
+    init_carry2, _, _ = make_train_functions(cfg2)
+    carry2 = jax.jit(init_carry2)(jax.random.PRNGKey(0))
+    assert (np.asarray(carry2.env_state.last_arrival) == -1).all()
+
+
+def test_per_slot_training_gated_on_buffer_fill():
+    """train_after_episode=False must not train until the replay holds
+    enough windows for a full batch (no zero-padded batches)."""
+    cfg = tiny(train_after_episode=False, training_stop=1000, memory_size=512)
+    agent = dataclasses.replace(cfg.agent, batch_size=256)  # > pretrain fill
+    cfg = dataclasses.replace(cfg, agent=agent)
+    init_carry, slot_step, run = make_train_functions(cfg)
+    carry, logs = run(jax.random.PRNGKey(0), 150)
+    loss = np.asarray(logs["loss"])
+    # pretrain leaves 181 slots; the batch of 256 windows (step 6) needs
+    # count >= 262, reached around slot 81 -- no training before that
+    fill_slot = 256 + 6 - 181
+    assert (loss[:fill_slot] == 0).all()
+    assert (loss[fill_slot + 2:] != 0).any()
