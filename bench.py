@@ -52,21 +52,26 @@ def main():
             sv = jax.vmap(
                 lambda si, oi, ai, ri: E.obtain_state(cfg, si, oi, ai, ri)
             )(s, obs, acts, rew)
-            return (s, k), rew.sum()
-        (s, k), rews = jax.lax.scan(body, (state, key), jnp.arange(CHUNK))
-        return s, rews.sum()
+            # fold the state vector into the output: without this XLA
+            # dead-code-eliminates obtain_state and the bench silently
+            # measures step-only throughput
+            return (s, k), (rew.sum(), sv.sum())
+        (s, k), (rews, svs) = jax.lax.scan(body, (state, key),
+                                           jnp.arange(CHUNK))
+        return s, rews.sum(), svs.sum()
 
     # compile + warmup
     t = time.perf_counter()
-    state, _ = rollout(state, key, 0)
+    state, _, _ = rollout(state, key, 0)
     jax.block_until_ready(state)
     log(f"compile+warmup: {time.perf_counter() - t:.1f}s")
 
     rates = []
     for r in range(REPEATS):
         t = time.perf_counter()
-        state, total = rollout(state, jax.random.fold_in(key, r), r * CHUNK)
-        total = float(total)  # forces full device completion
+        state, total, sv_sum = rollout(state, jax.random.fold_in(key, r),
+                                       r * CHUNK)
+        total = float(total) + 0 * float(sv_sum)  # forces full completion
         dt = time.perf_counter() - t
         rate = NUM_ENVS * CHUNK / dt
         log(f"run {r}: {dt*1e3:.1f} ms -> {rate:,.0f} env-steps/s "
@@ -115,17 +120,18 @@ def bench_scale(num_envs: int = 2048, chunk: int = 32):
             sv = jax.vmap(
                 lambda si, oi, ai, ri: E.obtain_state(cfg, si, oi, ai, ri)
             )(s, obs, acts, rew)
-            return (s, k), rew.sum()
-        (s, k), r = jax.lax.scan(body, (state, key), jnp.arange(chunk))
-        return s, r.sum()
+            # keep sv live (see headline rollout: DCE otherwise)
+            return (s, k), (rew.sum(), sv.sum())
+        (s, k), (r, sv) = jax.lax.scan(body, (state, key), jnp.arange(chunk))
+        return s, r.sum(), sv.sum()
 
     t = time.perf_counter()
-    state, tot = rollout(state, key)
-    tot = float(tot)
+    state, tot, svs = rollout(state, key)
+    tot = float(tot) + 0 * float(svs)
     log(f"scale compile+first: {time.perf_counter() - t:.1f}s")
     t = time.perf_counter()
-    state, tot = rollout(state, jax.random.fold_in(key, 1))
-    tot = float(tot)
+    state, tot, svs = rollout(state, jax.random.fold_in(key, 1))
+    tot = float(tot) + 0 * float(svs)
     dt = time.perf_counter() - t
     log(f"scale (100v/50r, B={num_envs}): {num_envs * chunk / dt:,.0f} "
         f"env-steps/s ({num_envs * chunk * 100 / dt:,.0f} agent-steps/s)")

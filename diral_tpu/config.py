@@ -46,6 +46,12 @@ class StateConfig:
     add_positional_dist_type: int = 2   # 1: inf-norm weighted hist, 2: count hist
     add_channel_obs: bool = False
     num_bins: int = 20                  # histogram bins for the piggy pos-dist
+    # new-framework knob (not in reference YAMLs): implementation of the
+    # type-2 positional distribution. "xla" = canonical bit-exact op,
+    # "pallas" = fused TPU kernel (ops/pallas_kernels.py, 1 ULP at bin
+    # edges), "auto" = pallas on TPU/float32 when num_users >= 32 (where
+    # the [N, N, bins] one-hot expansion dominates the step)
+    hist_impl: str = "auto"
 
 
 @dataclass(frozen=True)

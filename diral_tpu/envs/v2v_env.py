@@ -510,11 +510,32 @@ def positional_dist_piggy_type1(cfg: EnvConfig, state: EnvState):
     return jnp.where(any_fresh, hist, 0)
 
 
+def _pallas_hist_wanted(cfg: EnvConfig, dtype) -> bool:
+    impl = cfg.state.hist_impl
+    if impl == "xla":
+        return False
+    if impl == "pallas":
+        return True
+    if impl != "auto":
+        raise ValueError(f"bad hist_impl {impl!r}")
+    # auto: the fused kernel wins where the XLA path's [N, N, bins] one-hot
+    # expansion dominates; below that the 128-lane padding costs more than
+    # it saves, and non-f32/non-TPU stays on the bit-exact canonical op
+    return (cfg.num_users >= 32 and dtype == jnp.float32
+            and jax.default_backend() == "tpu")
+
+
 def positional_dist_piggy_type2(cfg: EnvConfig, state: EnvState):
     """Count histogram over +-bin_range divided by visible-neighbor count
     (network.py:473-513) -- the toy config's view-based positional
     distribution. [N, num_bins]."""
     bins, rng = cfg.state.num_bins, cfg.bin_range
+    if _pallas_hist_wanted(cfg, state.pos_x.dtype):
+        from diral_tpu.ops.pallas_kernels import piggy_histogram
+
+        return piggy_histogram(state.table_x, state.table_y, state.pos_x,
+                               state.pos_y, state.table_age,
+                               float(rng), bins)
     d, sign, fresh = _piggy_geometry(state)
     valid = fresh & (d < rng)
     hist = masked_count_histogram(d * sign, valid, -float(rng), float(rng), bins)

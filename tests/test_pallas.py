@@ -78,3 +78,24 @@ def test_kernel_vmap_batch():
         ref = np.asarray(E.positional_dist_piggy_type2(cfg, states[b]))
         np.testing.assert_allclose(np.asarray(got[b]), ref, rtol=1e-6,
                                    atol=1e-7)
+
+
+def test_hist_impl_dispatch_through_obtain_state():
+    """cfg.state.hist_impl='pallas' must route obtain_state through the
+    fused kernel (interpret mode off-TPU) and match the canonical path."""
+    base = toy_4ue_3r().env
+    cfg = dataclasses.replace(base, num_users=16)
+    state = random_state(cfg, jax.random.PRNGKey(7))
+    obs = jnp.zeros((16, cfg.num_channels), jnp.float32)
+    acts = jnp.zeros((16,), jnp.int32)
+    rews = jnp.zeros((16,), jnp.float32)
+    ref = np.asarray(E.obtain_state(cfg, state, obs, acts, rews))
+    pcfg = dataclasses.replace(
+        cfg, state=dataclasses.replace(cfg.state, hist_impl="pallas"))
+    got = np.asarray(E.obtain_state(pcfg, state, obs, acts, rews))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
+    # 'auto' off-TPU stays on the canonical op: exact equality
+    acfg = dataclasses.replace(
+        cfg, state=dataclasses.replace(cfg.state, hist_impl="auto"))
+    np.testing.assert_array_equal(
+        np.asarray(E.obtain_state(acfg, state, obs, acts, rews)), ref)
