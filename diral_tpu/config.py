@@ -75,6 +75,12 @@ class EnvConfig:
     bin_range: float = 500.0            # observation range of the piggy histogram
     topology: str = "Circle"
     radius: float = 100.0
+    # new-framework knob (not in reference YAMLs): implementation of the
+    # step_channel per-channel phase. "xla" = canonical lax.scan,
+    # "pallas" = fused VMEM-resident kernel (ops/pallas_step.py), "auto" =
+    # pallas on TPU/float32 when num_users >= 32 (where the XLA scan is
+    # HBM-bound on the [B, N, N] table round-trips)
+    step_impl: str = "auto"
     state: StateConfig = field(default_factory=StateConfig)
 
     @property

@@ -410,6 +410,18 @@ def step_channel(cfg: EnvConfig, state: EnvState, actions, t, trace=None):
     if design not in (2, 3, 4):
         raise ValueError("my_step_ch defined for reward designs 2/3/4 only")
 
+    if _pallas_step_wanted(cfg, dtype):
+        from diral_tpu.ops.pallas_step import channel_phase
+
+        tx, ty, ts, ta, la, rews, obs = channel_phase(
+            state.pos_x, state.pos_y, actions, state.table_x, state.table_y,
+            state.table_seq, state.table_age, state.last_arrival, t,
+            c, float(R), design, st.add_positional_dist_piggy)
+        state = state.replace(table_x=tx, table_y=ty, table_seq=ts,
+                              table_age=ta, last_arrival=la)
+        state = _advance_mobility(cfg, state, t, trace)
+        return state, obs, rews
+
     def body(carry, ch):
         state, la, rews, obs = carry
         txm = acts[:, ch] == 1
@@ -521,6 +533,22 @@ def _pallas_hist_wanted(cfg: EnvConfig, dtype) -> bool:
     # auto: the fused kernel wins where the XLA path's [N, N, bins] one-hot
     # expansion dominates; below that the 128-lane padding costs more than
     # it saves, and non-f32/non-TPU stays on the bit-exact canonical op
+    return (cfg.num_users >= 32 and dtype == jnp.float32
+            and jax.default_backend() == "tpu")
+
+
+def _pallas_step_wanted(cfg: EnvConfig, dtype) -> bool:
+    impl = cfg.step_impl
+    if impl == "xla":
+        return False
+    if impl == "pallas":
+        return True
+    if impl != "auto":
+        raise ValueError(f"bad step_impl {impl!r}")
+    # auto: same shape of argument as _pallas_hist_wanted — the fused
+    # kernel pays off once the per-channel [N, N] table round-trips
+    # dominate; the kernel is f32-only (seq/age ride the MXU as exact
+    # f32 images of ints < 2^24)
     return (cfg.num_users >= 32 and dtype == jnp.float32
             and jax.default_backend() == "tpu")
 
