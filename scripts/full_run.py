@@ -27,6 +27,7 @@ def main():
     p.add_argument("config")
     p.add_argument("workdir")
     p.add_argument("--slots", type=int, default=None)
+    p.add_argument("--num-envs", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eval-steps", type=int, default=500)
     p.add_argument("--eval-envs", type=int, default=16)
@@ -49,6 +50,10 @@ def main():
     if args.slots:
         cfg = dataclasses.replace(cfg, time_slots=args.slots)
     cfg = dataclasses.replace(cfg, save_model=True)
+    if args.num_envs:
+        cfg = dataclasses.replace(
+            cfg,
+            engine=dataclasses.replace(cfg.engine, num_envs=args.num_envs))
     os.makedirs(args.workdir, exist_ok=True)
     print(f"devices: {jax.devices()}", flush=True)
 
