@@ -161,15 +161,51 @@ def _periodic_update(state: EnvState) -> EnvState:
     )
 
 
+# Below this vehicle count, min/argmin/row-gather lower to unrolled
+# elementwise select folds instead of TPU variadic reduces / per-lane
+# gathers: under an env vmap those reduce kernels cost ~200 us per call at
+# B=8192 (the compiled toy step spent >60% of its time in them), while the
+# unrolled folds fuse into neighbouring elementwise work.  Semantics are
+# bit-identical: a strict-< fold IS first-occurrence argmin.
+_UNROLL_N = 16
+
+
+def _gather_rows(mat, ids):
+    """mat[ids] (row gather) as an unrolled select fold for small N."""
+    n = mat.shape[0]
+    if n > _UNROLL_N:
+        return mat[ids]
+    acc = jnp.broadcast_to(mat[0], (ids.shape[0],) + mat.shape[1:])
+    for tt in range(1, n):
+        acc = jnp.where((ids == tt)[:, None], mat[tt], acc)
+    return acc
+
+
+def _min_argmin(vals, axis_len: int):
+    """(min, first-occurrence argmin) over the last axis; unrolled fold for
+    small N (exactly jnp.min/jnp.argmin semantics, incl. tie-break)."""
+    if axis_len > _UNROLL_N:
+        return vals.min(axis=-1), vals.argmin(axis=-1)
+    best = vals[..., 0]
+    best_i = jnp.zeros(best.shape, jnp.int32)
+    for j in range(1, axis_len):
+        better = vals[..., j] < best
+        best = jnp.where(better, vals[..., j], best)
+        best_i = jnp.where(better, j, best_i)
+    return best, best_i
+
+
 def _merge_tables(state: EnvState, rx_mask, tx_ids) -> EnvState:
     """Each rx with rx_mask merges tx_ids[rx]'s live table row into its own,
     entry-wise where the source sequence number is strictly newer
     (vehicle.py:35-47; live-table aliasing per vehicle.py:61)."""
-    src_seq = state.table_seq[tx_ids]
+    src_seq = _gather_rows(state.table_seq, tx_ids)
     newer = (src_seq > state.table_seq) & rx_mask[:, None]
     return state.replace(
-        table_x=jnp.where(newer, state.table_x[tx_ids], state.table_x),
-        table_y=jnp.where(newer, state.table_y[tx_ids], state.table_y),
+        table_x=jnp.where(newer, _gather_rows(state.table_x, tx_ids),
+                          state.table_x),
+        table_y=jnp.where(newer, _gather_rows(state.table_y, tx_ids),
+                          state.table_y),
         table_seq=jnp.where(newer, src_seq, state.table_seq),
         table_age=jnp.where(newer, 0, state.table_age),
     )
@@ -185,8 +221,7 @@ def _closest_tx(D, tx_mask, comm_range):
         tx_mask[None, :] & (D < comm_range), D,
         jnp.asarray(NO_TX_DIST, D.dtype),
     )
-    dist = cand.min(axis=1)
-    tx_id = cand.argmin(axis=1)
+    dist, tx_id = _min_argmin(cand, cand.shape[-1])
     has = dist < NO_TX_DIST
     return dist, tx_id, has
 
@@ -195,7 +230,16 @@ def _norm_distance(pos_x, D):
     """Distance between the (first) min-x and max-x vehicles
     (network.py:225-246; argmin/argmax first-occurrence matches the
     strict-< / strict-> scans)."""
-    return D[jnp.argmin(pos_x), jnp.argmax(pos_x)]
+    n = pos_x.shape[0]
+    if n > _UNROLL_N:
+        return D[jnp.argmin(pos_x), jnp.argmax(pos_x)]
+    _, imin = _min_argmin(pos_x, n)
+    _, imax = _min_argmin(-pos_x, n)  # strict-> fold == first argmax
+    row = _gather_rows(D, imin[None])[0]
+    acc = row[0]
+    for j in range(1, n):
+        acc = jnp.where(imax == j, row[j], acc)
+    return acc
 
 
 def _collision_reward(cfg: EnvConfig, D, norm_d, tx_mask, tot, dtype):
