@@ -129,16 +129,24 @@ def bench_scale(num_envs: int = 2048, chunk: int = 32):
     state, tot, svs = rollout(state, key)
     tot = float(tot) + 0 * float(svs)
     log(f"scale compile+first: {time.perf_counter() - t:.1f}s")
-    t = time.perf_counter()
-    state, tot, svs = rollout(state, jax.random.fold_in(key, 1))
-    tot = float(tot) + 0 * float(svs)
-    dt = time.perf_counter() - t
-    log(f"scale (100v/50r, B={num_envs}): {num_envs * chunk / dt:,.0f} "
-        f"env-steps/s ({num_envs * chunk * 100 / dt:,.0f} agent-steps/s)")
+    rates = []
+    for i in range(1, 4):  # median of 3: the tunnel stalls single transfers
+        t = time.perf_counter()
+        state, tot, svs = rollout(state, jax.random.fold_in(key, i))
+        tot = float(tot) + 0 * float(svs)
+        rates.append(num_envs * chunk / (time.perf_counter() - t))
+    rate = sorted(rates)[1]
+    log(f"scale (100v/50r, B={num_envs}): {rate:,.0f} "
+        f"env-steps/s ({rate * 100:,.0f} agent-steps/s)")
 
 
-def bench_train_loop(num_envs: int = 256, chunk: int = 100):
-    """Full toy training slots/s (inference+env+replay+episodic train)."""
+def bench_train_loop(num_envs: int = 256, chunk: int = 1000):
+    """Full toy training slots/s (inference+env+replay+episodic train).
+
+    chunk matches the production runner's dispatch granularity
+    (train/runner.py uses min(save_freq, 5000) slots per device dispatch);
+    tiny chunks would measure per-dispatch tunnel latency (~0.35 s on the
+    axon TPU tunnel), not the training loop."""
     import dataclasses
     from functools import partial
     from diral_tpu.config import toy_4ue_3r
@@ -163,12 +171,15 @@ def bench_train_loop(num_envs: int = 256, chunk: int = 100):
     carry, _ = run_chunk(carry, jnp.asarray(t0), chunk)
     jax.block_until_ready(carry)
     log(f"train-loop compile+first: {time.perf_counter() - t:.1f}s")
-    t = time.perf_counter()
-    carry, logs = run_chunk(carry, jnp.asarray(t0 + chunk), chunk)
-    r = float(logs["sum_reward"].sum())  # force completion through a transfer
-    dt = time.perf_counter() - t
+    rates = []
+    for i in range(1, 4):  # median of 3: the tunnel stalls single transfers
+        t = time.perf_counter()
+        carry, logs = run_chunk(carry, jnp.asarray(t0 + i * chunk), chunk)
+        r = float(logs["sum_reward"].sum())  # force completion via transfer
+        rates.append(chunk / (time.perf_counter() - t))
+    rate = sorted(rates)[1]
     log(f"train loop (toy, B={num_envs}, batch512x2/episode): "
-        f"{chunk / dt:,.0f} slots/s, {num_envs * chunk / dt:,.0f} env-slots/s")
+        f"{rate:,.0f} slots/s, {num_envs * rate:,.0f} env-slots/s")
 
 
 def bench_scaling(per_device_envs: int = 1024, chunk: int = 64):
