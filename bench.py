@@ -60,10 +60,11 @@ def main():
                                            jnp.arange(CHUNK))
         return s, rews.sum(), svs.sum()
 
-    # compile + warmup
+    # compile + warmup (scalar transfer: block_until_ready can return
+    # early on the axon platform)
     t = time.perf_counter()
-    state, _, _ = rollout(state, key, 0)
-    jax.block_until_ready(state)
+    state, rsum, _ = rollout(state, key, 0)
+    float(rsum)
     log(f"compile+warmup: {time.perf_counter() - t:.1f}s")
 
     rates = []
@@ -80,6 +81,7 @@ def main():
     best = sorted(rates)[len(rates) // 2]  # median
 
     try:
+        bench_kernel_parity()
         bench_scale()
         bench_train_loop()
         if len(jax.devices()) > 1:
@@ -93,6 +95,65 @@ def main():
         "unit": "env-steps/s/chip",
         "vs_baseline": round(best / BASELINE_STEPS_PER_SEC, 3),
     }))
+
+
+def bench_kernel_parity(n: int = 100, c: int = 50):
+    """On-device xla-vs-pallas parity for the fused channel kernel.
+
+    The CI suite only exercises the kernel in interpret mode (tests force
+    CPU), so the compiled Mosaic path is validated HERE, on the real
+    device, with adversarial inputs: random tables and seq numbers up to
+    2e5 (the range a full schedule reaches — this is what caught the
+    default-matmul-precision bf16 truncation bug)."""
+    import dataclasses
+    from diral_tpu.config import toy_4ue_3r
+
+    base = toy_4ue_3r().env
+    cfg = dataclasses.replace(
+        base, num_users=n, num_channels=c, reward_design=2,
+        highway_length=2000, communication_range=250.0, mobility=True,
+        congestion_test=False)
+    ks = jax.random.split(jax.random.PRNGKey(1234), 7)
+    state = E.reset(cfg, ks[0], jnp.float32)
+    state = state.replace(
+        table_x=jax.random.uniform(ks[1], (n, n), jnp.float32, 0, 2000),
+        table_y=jax.random.uniform(ks[2], (n, n), jnp.float32, 0, 2),
+        table_seq=jax.random.randint(ks[3], (n, n), 0, 200_000),
+        table_age=jax.random.randint(ks[4], (n, n), 0, 40),
+        last_arrival=jax.random.randint(ks[5], (n, n), -1, 10),
+    )
+    import numpy as np
+
+    outs = {}
+    for impl in ("xla", "pallas"):
+        cf = dataclasses.replace(cfg, step_impl=impl)
+        s = state
+        acc = []
+        key = ks[6]
+        for t in range(3):
+            key, ka = jax.random.split(key)
+            acts = jax.random.randint(ka, (n,), 0, c)
+            s, obs, rew = jax.jit(
+                lambda s_, a_, t_, cf_=cf: E.step_channel(cf_, s_, a_, t_)
+            )(s, acts, t)
+            acc.append((np.asarray(rew), np.asarray(obs)))
+        outs[impl] = (s, acc)
+    sx, sp = outs["xla"][0], outs["pallas"][0]
+    bad = []
+    for f in ("table_x", "table_y", "table_seq", "table_age",
+              "last_arrival"):
+        if not np.array_equal(np.asarray(getattr(sx, f)),
+                              np.asarray(getattr(sp, f))):
+            bad.append(f)
+    for (rx, ox), (rp, op) in zip(outs["xla"][1], outs["pallas"][1]):
+        if not np.array_equal(rx, rp):
+            bad.append("rewards")
+        if not np.array_equal(ox, op):
+            bad.append("obs")
+    if bad:
+        log(f"KERNEL PARITY FAILURE (compiled pallas vs xla): {bad}")
+    else:
+        log("kernel parity (compiled pallas vs xla, adversarial seqs): OK")
 
 
 def bench_scale(num_envs: int = 2048, chunk: int = 32):
@@ -137,7 +198,7 @@ def bench_scale(num_envs: int = 2048, chunk: int = 32):
         rates.append(num_envs * chunk / (time.perf_counter() - t))
     rate = sorted(rates)[1]
     log(f"scale (100v/50r, B={num_envs}): {rate:,.0f} "
-        f"env-steps/s ({rate * 100:,.0f} agent-steps/s)")
+        f"env-steps/s ({rate * cfg.num_users:,.0f} agent-steps/s)")
 
 
 def bench_train_loop(num_envs: int = 256, chunk: int = 1000):
@@ -168,8 +229,8 @@ def bench_train_loop(num_envs: int = 256, chunk: int = 1000):
     # overstates throughput by a large factor.
     t0 = cfg.agent.batch_size + 100
     t = time.perf_counter()
-    carry, _ = run_chunk(carry, jnp.asarray(t0), chunk)
-    jax.block_until_ready(carry)
+    carry, logs0 = run_chunk(carry, jnp.asarray(t0), chunk)
+    float(logs0["sum_reward"].sum())  # scalar transfer: see CLAUDE.md timing
     log(f"train-loop compile+first: {time.perf_counter() - t:.1f}s")
     rates = []
     for i in range(1, 4):  # median of 3: the tunnel stalls single transfers

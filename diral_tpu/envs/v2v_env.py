@@ -586,6 +586,11 @@ def _pallas_step_wanted(cfg: EnvConfig, dtype) -> bool:
     if impl == "xla":
         return False
     if impl == "pallas":
+        if dtype != jnp.float32:
+            raise ValueError(
+                "step_impl='pallas' is float32-only (the kernel would "
+                "silently downcast); use the XLA path for float64 parity "
+                "work")
         return True
     if impl != "auto":
         raise ValueError(f"bad step_impl {impl!r}")

@@ -43,7 +43,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NO_TX_DIST = 100000.0     # envs/v2v_env.py sentinel (network.py:383 "100000")
+from diral_tpu.envs.v2v_env import NO_TX_DIST  # one sentinel, one definition
+
 _PAD_POS = 1.0e9          # padded vehicles sit far outside comm range
 
 
@@ -136,11 +137,17 @@ def _channel_phase_kernel(px_c_ref, py_c_ref, px_r_ref, py_r_ref,
 
         if merge:
             # gather the accepted transmitter's LIVE table row via a
-            # one-hot matmul (vehicle.py:35-47; transitive within the slot)
+            # one-hot matmul (vehicle.py:35-47; transitive within the slot).
+            # Precision.HIGHEST is required for exactness: the MXU's default
+            # f32 path truncates inputs to bf16, which corrupts seq numbers
+            # > 256 and position values (verified on-device; with HIGHEST
+            # the one-hot gather is exact).
+            hi = jax.lax.Precision.HIGHEST
             sel = accept.astype(f32)
-            src_x = jnp.dot(sel, tx, preferred_element_type=f32)
-            src_y = jnp.dot(sel, ty, preferred_element_type=f32)
-            src_s = jnp.dot(sel, ts_f, preferred_element_type=f32)
+            src_x = jnp.dot(sel, tx, preferred_element_type=f32, precision=hi)
+            src_y = jnp.dot(sel, ty, preferred_element_type=f32, precision=hi)
+            src_s = jnp.dot(sel, ts_f, preferred_element_type=f32,
+                            precision=hi)
             newer = (src_s > ts_f) & (invoked_c & has_c)
             tx = jnp.where(newer, src_x, tx)
             ty = jnp.where(newer, src_y, ty)

@@ -63,7 +63,7 @@ def main():
     sr = logs["sum_reward"][:, 0]
     n10 = max(1, len(sr) // 10)
     curve = [round(float(sr[i * n10:(i + 1) * n10].mean()), 3)
-             for i in range(10)]
+             for i in range(10) if i * n10 < len(sr)]
     print(f"train done in {train_s:.0f}s; curve(deciles)={curve}", flush=True)
 
     t0 = time.time()

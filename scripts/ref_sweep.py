@@ -52,7 +52,9 @@ def main():
     print(f"devices: {jax.devices()}", flush=True)
     rows = []
     for path in sorted(glob.glob(os.path.join(REF_CONFIG_DIR, "*.yaml"))):
-        name = os.path.basename(path)[len("config_toy_4ue_3r_tests_db_"):-5]
+        name = (os.path.basename(path)
+                .removeprefix("config_toy_4ue_3r_tests_db_")
+                .removesuffix(".yaml")) or "unnamed"
         cfg = load_config(path)
         # result artifacts are per-config; model checkpoints not needed here
         cfg = dataclasses.replace(cfg, save_model=False,
@@ -67,7 +69,7 @@ def main():
         sr = logs["sum_reward"][:, 0]
         n10 = max(1, len(sr) // 10)
         curve = [round(float(sr[i * n10:(i + 1) * n10].mean()), 3)
-                 for i in range(10)]
+                 for i in range(10) if i * n10 < len(sr)]
         eval_cfg = dataclasses.replace(
             cfg,
             engine=dataclasses.replace(cfg.engine, num_envs=args.eval_envs))
