@@ -166,8 +166,9 @@ def _periodic_update(state: EnvState) -> EnvState:
 # gathers: under an env vmap those reduce kernels cost ~200 us per call at
 # B=8192 (the compiled toy step spent >60% of its time in them), while the
 # unrolled folds fuse into neighbouring elementwise work.  Semantics are
-# bit-identical: a strict-< fold IS first-occurrence argmin.
-_UNROLL_N = 16
+# bit-identical: a strict-< fold IS first-occurrence argmin.  32 meets the
+# pallas-kernel threshold from above, so no N hits the variadic reduces.
+_UNROLL_N = 32
 
 
 def _gather_rows(mat, ids):

@@ -105,3 +105,24 @@ def test_channel_step_reward_bounds():
                                                flavor=E.step_channel):
         r = np.asarray(rew)
         assert (r >= -1.0).all() and (r <= 1.0).all()
+
+
+def test_unrolled_fold_helpers_match_jnp_semantics():
+    """_min_argmin / _gather_rows are bit-identical to jnp.min/argmin and
+    row indexing, including first-occurrence tie-breaks on duplicated
+    values (the reference's strict-< scans)."""
+    import numpy as np
+    from diral_tpu.envs.v2v_env import _min_argmin, _gather_rows
+
+    key = jax.random.PRNGKey(0)
+    for n in (2, 3, 7, 16, 31):
+        # force ties: values drawn from a tiny integer set
+        vals = jax.random.randint(key, (5, n), 0, 3).astype(jnp.float32)
+        mn, am = _min_argmin(vals, n)
+        np.testing.assert_array_equal(np.asarray(mn), np.asarray(vals.min(-1)))
+        np.testing.assert_array_equal(np.asarray(am),
+                                      np.asarray(vals.argmin(-1)))
+        mat = jax.random.normal(jax.random.fold_in(key, n), (n, 4))
+        ids = jax.random.randint(jax.random.fold_in(key, n + 99), (n,), 0, n)
+        np.testing.assert_array_equal(np.asarray(_gather_rows(mat, ids)),
+                                      np.asarray(mat[ids]))
