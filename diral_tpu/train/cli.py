@@ -69,6 +69,29 @@ def cmd_train_ppo(args):
     }))
 
 
+def cmd_train_sweep(args):
+    import jax
+
+    cfg = _load(args)
+    from diral_tpu.train.evaluate import compare_drqn_vs_sps
+    from diral_tpu.train.sweep import run_seed_sweep, split_seed
+
+    seeds = list(range(args.seeds))
+    carries, logs = run_seed_sweep(cfg, seeds)
+    sr = logs["sum_reward"][:, :, 0]          # [S, T]
+    tail = sr[:, -max(1, sr.shape[1] // 10):].mean(axis=1)
+    rows = []
+    for i, s in enumerate(seeds):
+        comp = compare_drqn_vs_sps(cfg, split_seed(carries, i).learner,
+                                   jax.random.PRNGKey(1),
+                                   steps=args.eval_steps)
+        rows.append({"seed": s, "final_mean_sum_reward": round(float(tail[i]), 3),
+                     "drqn_prr": round(comp["drqn"]["mean_prr"], 4),
+                     "sps_prr": round(comp["sps"]["mean_prr"], 4),
+                     "prr_improvement": round(comp["prr_improvement"], 4)})
+    print(json.dumps(rows))
+
+
 def cmd_eval(args):
     import jax
 
@@ -137,6 +160,16 @@ def main(argv=None):
     common(sp)
     sp.add_argument("--episodes", type=int, default=None)
     sp.set_defaults(fn=cmd_train_ppo)
+
+    sp = sub.add_parser(
+        "train-sweep",
+        help="vmapped multi-seed training: S experiments in one program")
+    common(sp)
+    sp.add_argument("--slots", type=int, default=None)
+    sp.add_argument("--seeds", type=int, default=8,
+                    help="number of seeds (0..N-1)")
+    sp.add_argument("--eval-steps", type=int, default=500)
+    sp.set_defaults(fn=cmd_train_sweep)
 
     sp = sub.add_parser("eval", help="greedy evaluation of a checkpoint")
     common(sp)
