@@ -55,9 +55,15 @@ def train_experiment(cfg: ExperimentConfig, workdir: str = ".",
     if cfg.save_model or resume:
         mgr = ckpt.checkpoint_manager(ckpt_dir)
     if resume:
-        carry, t = ckpt.restore(mgr, carry)
-        if verbose:
-            print(f"resumed from slot {t}")
+        # a restart loop passes --resume unconditionally; an empty
+        # checkpoint dir means cold start, not an error
+        if mgr.latest_step() is None:
+            if verbose:
+                print("no checkpoint yet; starting fresh")
+        else:
+            carry, t = ckpt.restore(mgr, carry)
+            if verbose:
+                print(f"resumed from slot {t}")
 
     writer = ResultWriter(workdir, cfg.experiment_name or "experiment",
                           simulation)
@@ -87,7 +93,9 @@ def train_experiment(cfg: ExperimentConfig, workdir: str = ".",
                 np.concatenate(actions),
                 np.concatenate(positions) if positions else None,
             )
-        if cfg.save_model and mgr is not None and (
+        # mgr exists iff save_model or --resume; a resume-enabled run must
+        # also write checkpoints or the next restart has nothing to load
+        if mgr is not None and (
             t % cfg.save_freq == 0 or t >= cfg.time_slots
         ):
             ckpt.save(mgr, t, carry)

@@ -87,3 +87,19 @@ def test_runner_artifacts_layout(tmp_path):
     carry, out = train_experiment(cfg2, workdir=str(tmp_path), seed=1,
                                   chunk_size=60, resume=True, verbose=False)
     assert out["sum_reward"].shape[0] == 60  # only the new slots
+
+
+def test_resume_cold_start_and_saves_without_save_model(tmp_path):
+    """--resume on an empty workdir must cold-start (not raise), and a
+    resume-enabled run must WRITE checkpoints even with save_model=False,
+    so a restart loop that always passes --resume makes progress."""
+    cfg = small_cfg(tmp_path)
+    cfg = dataclasses.replace(cfg, save_model=False)
+    train_experiment(cfg, workdir=str(tmp_path), seed=2, chunk_size=60,
+                     resume=True, verbose=False)
+    ck = tmp_path / "save_model" / "test" / "ckpt_test"
+    assert ckpt.latest_step(str(ck)) == cfg.time_slots
+    cfg2 = dataclasses.replace(cfg, time_slots=cfg.time_slots + 60)
+    _, out = train_experiment(cfg2, workdir=str(tmp_path), seed=2,
+                              chunk_size=60, resume=True, verbose=False)
+    assert out["sum_reward"].shape[0] == 60  # resumed, not retrained
