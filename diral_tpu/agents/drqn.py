@@ -139,7 +139,9 @@ def train(learner: DRQNLearner, replay, key, time_step, cfg: AgentConfig,
     step = cfg.step_size if cfg.network.use_lstm_input else 1
     if sample_fn is None:
         sample_fn = lambda k: replay.sample_windows(k, cfg.batch_size, step)
-    loss = jnp.zeros((), jnp.float32)
+    # loss dtype must match train_on_batch's (the params dtype): float64
+    # runs feed this through a lax.cond whose branches must agree
+    loss = jnp.zeros((), jax.tree_util.tree_leaves(learner.params)[0].dtype)
     for k in range(cfg.n_batch):
         key, kb = jax.random.split(key)
         learner, loss = train_on_batch(learner, sample_fn(kb), cfg, num_users)

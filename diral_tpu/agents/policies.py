@@ -36,12 +36,15 @@ def eps_greedy_init(eps_init: float) -> EpsGreedyState:
     )
 
 
-def eps_greedy_update(state: EpsGreedyState, episode, eps_decay: float) -> EpsGreedyState:
+def eps_greedy_update(state: EpsGreedyState, episode, eps_decay: float,
+                      eps_min: float = EPS_FLOOR) -> EpsGreedyState:
     """Multiply-decay with floor, fired when the episode counter advances
     (the reference fires on the first per-user action call of a new episode;
-    here once per slot before acting -- same cadence)."""
+    here once per slot before acting -- same cadence).  eps_min defaults to
+    the reference's hardcoded 0.001 (policies.py:62-63); the config's
+    ``eps_min`` is threaded through by the training loop."""
     fire = episode > state.episode
-    eps = jnp.where(fire, jnp.maximum(state.eps * eps_decay, EPS_FLOOR), state.eps)
+    eps = jnp.where(fire, jnp.maximum(state.eps * eps_decay, eps_min), state.eps)
     ep = jnp.where(fire, episode, state.episode)
     return state.replace(eps=eps, episode=ep)
 

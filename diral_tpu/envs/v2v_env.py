@@ -105,19 +105,29 @@ def _blank_state(cfg: EnvConfig, pos_x, pos_y, vel, direction, dtype) -> EnvStat
 
 
 def reset(cfg: EnvConfig, key: jax.Array, dtype=jnp.float32) -> EnvState:
-    """Random-highway topology with the reference's distributions
-    (network.py:92-119: integer x in [0, L), y = 0, speed U(1.1, 2.7),
-    all moving right), drawn from JAX's threefry instead of the global
-    NumPy/py RNGs.  For call-for-call RNG parity use the oracle +
-    ``reset_from``."""
+    """Topology init with the reference's distributions and gating
+    (network.py:92-119 via oracle._init_random_topology: integer x in
+    [0, L), integer y in [0, H//2) (0 when H < 2 -- the toy's H=2 always
+    gives y=0), speed U(1.1, 2.7), all moving right; randomized ONLY when
+    mobility or the design topology is enabled, otherwise everything
+    stays at the origin like the reference's uninitialized Network),
+    drawn from JAX's threefry instead of the global NumPy/py RNGs.  For
+    call-for-call RNG parity use the oracle + ``reset_from``."""
     n = cfg.num_users
-    kx, kv = jax.random.split(key)
+    kx, ky, kv = jax.random.split(key, 3)
     if cfg.enable_design_topology:
         xs = jnp.asarray([0, 195, 390, 585, 780, 975][:n], dtype)
         ys = jnp.asarray([1, 1, 2, 2, 2, 2][:n], dtype)
         return _blank_state(cfg, xs, ys, jnp.ones(n, dtype), jnp.ones(n, dtype), dtype)
+    if not cfg.mobility:
+        z = jnp.zeros((n,), dtype)
+        return _blank_state(cfg, z, z, z, jnp.ones(n, dtype), dtype)
     pos_x = jax.random.randint(kx, (n,), 0, cfg.highway_length).astype(dtype)
-    pos_y = jnp.zeros((n,), dtype)
+    half_h = cfg.highway_height // 2
+    if half_h >= 1:
+        pos_y = jax.random.randint(ky, (n,), 0, half_h).astype(dtype)
+    else:
+        pos_y = jnp.zeros((n,), dtype)
     if cfg.mobility_vary:
         vel = jnp.full((n,), 1.7, dtype)
     else:

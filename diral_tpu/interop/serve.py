@@ -65,27 +65,35 @@ class SNAlignedEpisodes:
 
     def flush(self, replay: ps_drqn.EpisodeReplay) -> ps_drqn.EpisodeReplay:
         """Move complete (state+action+reward) slots into the device replay
-        and reset (the `is not -1` triple filter, ps_drqn.py:282-288)."""
+        and release them (the `is not -1` triple filter, ps_drqn.py:282-288).
+
+        Slots still awaiting their delayed reward (has_sa without has_r —
+        typically the window's last SN, whose reward rides the NEXT
+        request) are kept armed, so the late reward completes the pair it
+        belongs to instead of landing in a recycled slot and pairing with
+        a state/action from ``capacity`` SNs later."""
         for a in range(self.states.shape[0]):
             complete = self.has_sa[a] & self.has_r[a]
             length = int(complete.sum())
-            if length == 0:
-                continue
-            idx = np.where(complete)[0]
-            L = replay.states.shape[1]
-            take = idx[:L]
-            s = np.zeros((L, self.states.shape[2]), np.float32)
-            act = np.zeros((L,), np.int32)
-            rew = np.zeros((L,), np.float32)
-            s[: len(take)] = self.states[a, take]
-            act[: len(take)] = self.actions[a, take]
-            rew[: len(take)] = self.rewards[a, take]
-            replay = replay.add_episode(
-                jnp.asarray(s), jnp.asarray(act), jnp.asarray(rew),
-                terminated=False, length=min(length, L),
-            )
-        self.has_sa[:] = False
-        self.has_r[:] = False
+            if length:
+                idx = np.where(complete)[0]
+                L = replay.states.shape[1]
+                take = idx[:L]
+                s = np.zeros((L, self.states.shape[2]), np.float32)
+                act = np.zeros((L,), np.int32)
+                rew = np.zeros((L,), np.float32)
+                s[: len(take)] = self.states[a, take]
+                act[: len(take)] = self.actions[a, take]
+                rew[: len(take)] = self.rewards[a, take]
+                replay = replay.add_episode(
+                    jnp.asarray(s), jnp.asarray(act), jnp.asarray(rew),
+                    terminated=False, length=min(length, L),
+                )
+            self.has_sa[a, complete] = False
+            self.has_r[a, complete] = False
+            # orphan rewards (reward without state/action, e.g. the obs was
+            # dropped) must not pair with a future state/action
+            self.has_r[a, self.has_r[a] & ~self.has_sa[a]] = False
         return replay
 
 
@@ -98,7 +106,11 @@ def serve_and_learn(env: GatewayEnv, cfg: AgentConfig, rounds: int,
     env.initialize_env()
     n = env.get_total_users()
     a_dim = env.get_action_space()
-    d = env.get_state_space() - a_dim  # table-derived state (no action bits)
+    # get_observation_syn_dist always serves a state_bins-wide positional
+    # histogram (gateway_env.py: neighbor_dist_type1/2), regardless of the
+    # DRQN-path state_space bookkeeping (which counts action bits and the
+    # state_design-1 obs width) -- size the learner to what is served
+    d = env.state_bins
 
     key = jax.random.PRNGKey(seed)
     learner = ps_drqn.init_learner(key, d, a_dim, cfg)

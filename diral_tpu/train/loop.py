@@ -104,10 +104,6 @@ def make_train_functions(cfg: ExperimentConfig, dtype=jnp.float32, trace=None):
         lambda s, a, t: step_env(env_cfg, s, a, t, trace=trace),
         in_axes=(0, 0, None),
     )
-    v_step_design = jax.vmap(
-        lambda s, a, t: E.step_design(env_cfg, s, a, t, trace=trace),
-        in_axes=(0, 0, None),
-    )
     v_obtain = jax.vmap(
         lambda s, o, a, r, ep, eps: E.obtain_state(env_cfg, s, o, a, r, ep, eps),
         in_axes=(0, 0, 0, 0, None, None),
@@ -139,15 +135,31 @@ def make_train_functions(cfg: ExperimentConfig, dtype=jnp.float32, trace=None):
 
     # Warmup always uses the collision step (main_test.py:92 calls my_step
     # unconditionally); pretrain uses my_step_ch when enable_channel else
-    # my_step_design (main_test.py:101-107).
+    # my_step_design (main_test.py:101-107).  Neither replays the recorded
+    # trace: the reference arms load_positions_enable only at
+    # env.load_saved_positions() (main_test.py:118), which runs AFTER the
+    # pretrain loop — warmup/pretrain advance normal mobility.
     v_warmup = jax.vmap(
-        lambda s, a, t: E.step_collision(env_cfg, s, a, t, trace=trace),
+        lambda s, a, t: E.step_collision(env_cfg, s, a, t, trace=None),
         in_axes=(0, 0, None),
     )
-    v_pretrain = v_step if cfg.enable_channel else v_step_design
+    if cfg.enable_channel:
+        v_pretrain = jax.vmap(
+            lambda s, a, t: step_env(env_cfg, s, a, t, trace=None),
+            in_axes=(0, 0, None),
+        )
+    else:
+        v_pretrain = jax.vmap(
+            lambda s, a, t: E.step_design(env_cfg, s, a, t, trace=None),
+            in_axes=(0, 0, None),
+        )
 
     def init_carry(key) -> TrainCarry:
-        k_env, k_act, k_pre, k_rest = jax.random.split(key, 4)
+        # 5-way split: the carried key must be a FRESH stream, not the
+        # parent key whose children are consumed below (reusing the parent
+        # would make slot 0's action/train/velocity keys collide with the
+        # init keys)
+        k_env, k_act, k_pre, k_rest, k_carry = jax.random.split(key, 5)
         env_state = v_reset(jax.random.split(k_env, B))
 
         # Warmup step (main_test.py:89-94): random action, collision step,
@@ -191,7 +203,7 @@ def make_train_functions(cfg: ExperimentConfig, dtype=jnp.float32, trace=None):
             sum_ia_prev=jnp.zeros((B,), dtype),
             ia_counter=jnp.zeros((B, N), jnp.int32),
             prev_actions=jnp.full((B, N), -1, jnp.int32),
-            key=key,
+            key=k_carry,
         )
 
     def train_call(learner, replay, key, t):
@@ -206,6 +218,9 @@ def make_train_functions(cfg: ExperimentConfig, dtype=jnp.float32, trace=None):
     def slot_step(carry: TrainCarry, t):
         key, k_act, k_vel, k_train = jax.random.split(carry.key, 4)
         episode = (t // cfg.episode_interval).astype(jnp.int32)
+        # positions are logged BEFORE the env step, as the reference does
+        # (main_test.py:140-142 reads get_x_pos() before my_step)
+        pos_pre = carry.env_state.pos_x
 
         # Slot-indexed mode switch (main_test.py:127-136); with load_model
         # the reference skips straight to greedy (the `not load_model`
@@ -220,7 +235,8 @@ def make_train_functions(cfg: ExperimentConfig, dtype=jnp.float32, trace=None):
         # it (main_test.py:136), so EpsilonGreedy.update_eps never fires
         # there (policies.py:45-48).
         in_mid_band = (t >= explore_until) & (t < greedy_after)
-        decayed = pol.eps_greedy_update(carry.eps_state, episode, acfg.eps_decay)
+        decayed = pol.eps_greedy_update(carry.eps_state, episode,
+                                        acfg.eps_decay, acfg.eps_min)
         eps_state = jax.tree.map(
             lambda new, old: jnp.where(in_mid_band, new, old),
             decayed, carry.eps_state,
@@ -311,8 +327,8 @@ def make_train_functions(cfg: ExperimentConfig, dtype=jnp.float32, trace=None):
         learner, loss = jax.lax.cond(
             do_train,
             lambda l: train_call(l, replay, k_train, t),
-            lambda l: (l, jnp.zeros((), jnp.float32)),
-            carry.learner,
+            lambda l: (l, jnp.zeros((), dtype)),  # dtype: f64 runs must
+            carry.learner,                        # match the train branch
         )
 
         carry = TrainCarry(
@@ -327,9 +343,9 @@ def make_train_functions(cfg: ExperimentConfig, dtype=jnp.float32, trace=None):
             "loss": loss,
             "eps": eps_state.eps,
             # pre-step positions, as the reference logs them before my_step
-            # (main_test.py:140-142)
-            "pos_x": carry.env_state.pos_x if cfg.save_positions
-            else jnp.zeros((0,)),
+            # (main_test.py:140-142); `carry` above is already the NEXT
+            # carry, so this must use the snapshot taken at slot entry
+            "pos_x": pos_pre if cfg.save_positions else jnp.zeros((0,)),
         }
         return carry, logs
 

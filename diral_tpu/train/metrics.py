@@ -47,3 +47,16 @@ class ResultWriter:
 
     def close(self):
         self._jsonl.close()
+
+    def load_arrays(self, upto: int | None = None):
+        """Load previously dumped arrays (for --resume continuity): returns
+        (rewards, actions, positions) truncated to ``upto`` slots, each None
+        when its file is absent."""
+        out = []
+        for stem in ("rewards", "actions", "positions"):
+            p = os.path.join(self.dir, f"{stem}_sim{self.sim}.npy")
+            a = np.load(p) if os.path.exists(p) else None
+            if a is not None and upto is not None:
+                a = a[:upto]
+            out.append(a)
+        return tuple(out)

@@ -68,6 +68,17 @@ def train_experiment(cfg: ExperimentConfig, workdir: str = ".",
     writer = ResultWriter(workdir, cfg.experiment_name or "experiment",
                           simulation)
     rewards, actions, positions, losses = [], [], [], []
+    if t > 0:
+        # --resume continuity: re-seed the result arrays with the slots
+        # already dumped, so the reference-layout npy files cover the whole
+        # run (the reference accumulates per-slot logs over the full run)
+        prev_r, prev_a, prev_p = writer.load_arrays(upto=t)
+        if prev_r is not None:
+            rewards.append(prev_r)
+        if prev_a is not None:
+            actions.append(prev_a)
+        if cfg.save_positions and prev_p is not None:
+            positions.append(prev_p)
 
     while t < cfg.time_slots:
         n = min(chunk, cfg.time_slots - t)

@@ -81,3 +81,37 @@ def test_per_slot_training_gated_on_buffer_fill():
     fill_slot = 256 + 6 - 181
     assert (loss[:fill_slot] == 0).all()
     assert (loss[fill_slot + 2:] != 0).any()
+
+
+def test_positions_logged_before_step():
+    """logs['pos_x'] at slot t must be the positions BEFORE slot t's
+    mobility advance (main_test.py:140-142 reads get_x_pos() before
+    my_step), i.e. row t+1 equals row t advanced by one mobility step."""
+    cfg = tiny(save_positions=True, time_slots=4)
+    init_carry, slot_step, _ = make_train_functions(cfg)
+    carry0 = jax.jit(init_carry)(jax.random.PRNGKey(0))
+    pre = np.asarray(carry0.env_state.pos_x)
+    vel = np.asarray(carry0.env_state.vel)
+    dirn = np.asarray(carry0.env_state.direction)
+    carry, logs = jax.jit(
+        lambda c: jax.lax.scan(slot_step, c, jnp.arange(4))
+    )(carry0)
+    pos = np.asarray(logs["pos_x"])           # [T, B, N]
+    np.testing.assert_array_equal(pos[0], pre)
+    L = cfg.env.highway_length
+    expected1 = np.mod(pre + dirn * vel + L, L).astype(pre.dtype)
+    np.testing.assert_allclose(pos[1], expected1, rtol=0, atol=1e-5)
+
+
+def test_slot0_keys_differ_from_init_keys():
+    """The carried RNG stream must be fresh: slot 0's subkeys must not
+    collide with init_carry's consumed subkeys (key-reuse regression)."""
+    cfg = tiny(time_slots=2)
+    init_carry, _, _ = make_train_functions(cfg)
+    key = jax.random.PRNGKey(0)
+    carry = jax.jit(init_carry)(key)
+    consumed = jax.random.split(key, 5)[:4]   # k_env, k_act, k_pre, k_rest
+    slot0 = jax.random.split(carry.key, 4)
+    for a in np.asarray(slot0):
+        for b in np.asarray(consumed):
+            assert not np.array_equal(a, b)

@@ -82,11 +82,16 @@ def test_runner_artifacts_layout(tmp_path):
     ck = tmp_path / "save_model" / "test" / "ckpt_test"
     assert ckpt.latest_step(str(ck)) == 120
 
-    # resume completes without retraining from scratch
+    # resume completes without retraining from scratch; the dumped arrays
+    # must cover the WHOLE run (reference accumulates per-slot logs over
+    # the full run), with the pre-crash slots preloaded from disk
     cfg2 = dataclasses.replace(cfg, time_slots=180)
     carry, out = train_experiment(cfg2, workdir=str(tmp_path), seed=1,
                                   chunk_size=60, resume=True, verbose=False)
-    assert out["sum_reward"].shape[0] == 60  # only the new slots
+    assert out["sum_reward"].shape[0] == 180
+    rewards2 = np.load(d / "rewards_sim0.npy")
+    assert rewards2.shape[0] == 180
+    np.testing.assert_array_equal(rewards2[:120], rewards)
 
 
 def test_resume_cold_start_and_saves_without_save_model(tmp_path):
@@ -102,4 +107,5 @@ def test_resume_cold_start_and_saves_without_save_model(tmp_path):
     cfg2 = dataclasses.replace(cfg, time_slots=cfg.time_slots + 60)
     _, out = train_experiment(cfg2, workdir=str(tmp_path), seed=2,
                               chunk_size=60, resume=True, verbose=False)
-    assert out["sum_reward"].shape[0] == 60  # resumed, not retrained
+    # resumed (not retrained): full-run arrays = preloaded 120 + new 60
+    assert out["sum_reward"].shape[0] == cfg.time_slots + 60
