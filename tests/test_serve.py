@@ -57,3 +57,29 @@ def test_serve_and_learn_end_to_end():
         env.sim_process = None
     finally:
         env.close()
+
+
+@needs_gxx
+def test_serve_and_learn_state_design_1():
+    """state_design=1 advertises state_space = action + obs_size, but the
+    served state is always the state_bins histogram — the learner must be
+    sized to what is served (regression for the width-derivation bug)."""
+    cfg = toy_4ue_3r().agent
+    cfg = dataclasses.replace(
+        cfg, batch_size=4, unroll_step=4, target_update=8,
+        network=dataclasses.replace(cfg.network, use_lstm_input=False,
+                                    use_dueling=False, layers=(16, 16)),
+    )
+    env = GatewayEnv(port=0, sim_start=True, sim_users=4, sim_channels=3,
+                     sim_rounds=40, sim_seed=5, state_design=1, pos_dist=1,
+                     state_bins=12, state_range=250, reward_design=2)
+    try:
+        learner, stats = serve_and_learn(env, cfg, rounds=35, train_every=10,
+                                         n_batches=1, eps=0.5)
+        assert stats["train_calls"] >= 2
+        assert np.isfinite(stats["losses"]).all()
+        env.bridge.restart_env()
+        env.sim_process.wait(timeout=10)
+        env.sim_process = None
+    finally:
+        env.close()
