@@ -104,56 +104,71 @@ def bench_kernel_parity(n: int = 100, c: int = 50):
     CPU), so the compiled Mosaic path is validated HERE, on the real
     device, with adversarial inputs: random tables and seq numbers up to
     2e5 (the range a full schedule reaches — this is what caught the
-    default-matmul-precision bf16 truncation bug)."""
+    default-matmul-precision bf16 truncation bug).  Every reward design
+    the kernel can serve (2/3/4 — 3 and 4 go through the compiled
+    transcendental exp) and both merge settings are checked."""
     import dataclasses
+    import numpy as np
     from diral_tpu.config import toy_4ue_3r
 
     base = toy_4ue_3r().env
-    cfg = dataclasses.replace(
-        base, num_users=n, num_channels=c, reward_design=2,
-        highway_length=2000, communication_range=250.0, mobility=True,
-        congestion_test=False)
-    ks = jax.random.split(jax.random.PRNGKey(1234), 7)
-    state = E.reset(cfg, ks[0], jnp.float32)
-    state = state.replace(
-        table_x=jax.random.uniform(ks[1], (n, n), jnp.float32, 0, 2000),
-        table_y=jax.random.uniform(ks[2], (n, n), jnp.float32, 0, 2),
-        table_seq=jax.random.randint(ks[3], (n, n), 0, 200_000),
-        table_age=jax.random.randint(ks[4], (n, n), 0, 40),
-        last_arrival=jax.random.randint(ks[5], (n, n), -1, 10),
-    )
-    import numpy as np
+    any_bad = False
+    for design in (2, 3, 4):
+        for merge in (True, False):
+            st = dataclasses.replace(base.state,
+                                     add_positional_dist_piggy=merge)
+            cfg = dataclasses.replace(
+                base, num_users=n, num_channels=c, reward_design=design,
+                highway_length=2000, communication_range=250.0,
+                mobility=True, congestion_test=False, state=st)
+            ks = jax.random.split(jax.random.PRNGKey(1234 + design), 7)
+            state = E.reset(cfg, ks[0], jnp.float32)
+            state = state.replace(
+                table_x=jax.random.uniform(ks[1], (n, n), jnp.float32,
+                                           0, 2000),
+                table_y=jax.random.uniform(ks[2], (n, n), jnp.float32, 0, 2),
+                table_seq=jax.random.randint(ks[3], (n, n), 0, 200_000),
+                table_age=jax.random.randint(ks[4], (n, n), 0, 40),
+                last_arrival=jax.random.randint(ks[5], (n, n), -1, 10),
+            )
 
-    outs = {}
-    for impl in ("xla", "pallas"):
-        cf = dataclasses.replace(cfg, step_impl=impl)
-        s = state
-        acc = []
-        key = ks[6]
-        for t in range(3):
-            key, ka = jax.random.split(key)
-            acts = jax.random.randint(ka, (n,), 0, c)
-            s, obs, rew = jax.jit(
-                lambda s_, a_, t_, cf_=cf: E.step_channel(cf_, s_, a_, t_)
-            )(s, acts, t)
-            acc.append((np.asarray(rew), np.asarray(obs)))
-        outs[impl] = (s, acc)
-    sx, sp = outs["xla"][0], outs["pallas"][0]
-    bad = []
-    for f in ("table_x", "table_y", "table_seq", "table_age",
-              "last_arrival"):
-        if not np.array_equal(np.asarray(getattr(sx, f)),
-                              np.asarray(getattr(sp, f))):
-            bad.append(f)
-    for (rx, ox), (rp, op) in zip(outs["xla"][1], outs["pallas"][1]):
-        if not np.array_equal(rx, rp):
-            bad.append("rewards")
-        if not np.array_equal(ox, op):
-            bad.append("obs")
-    if bad:
-        log(f"KERNEL PARITY FAILURE (compiled pallas vs xla): {bad}")
-    else:
-        log("kernel parity (compiled pallas vs xla, adversarial seqs): OK")
+            outs = {}
+            for impl in ("xla", "pallas"):
+                cf = dataclasses.replace(cfg, step_impl=impl)
+                step = jax.jit(
+                    lambda s_, a_, t_, cf_=cf: E.step_channel(cf_, s_, a_, t_))
+                s = state
+                acc = []
+                key = ks[6]
+                for t in range(3):
+                    key, ka = jax.random.split(key)
+                    acts = jax.random.randint(ka, (n,), 0, c)
+                    s, obs, rew = step(s, acts, t)
+                    acc.append((np.asarray(rew), np.asarray(obs)))
+                outs[impl] = (s, acc)
+            sx, sp = outs["xla"][0], outs["pallas"][0]
+            bad = []
+            for f in ("table_x", "table_y", "table_seq", "table_age",
+                      "last_arrival"):
+                if not np.array_equal(np.asarray(getattr(sx, f)),
+                                      np.asarray(getattr(sp, f))):
+                    bad.append(f)
+            rdiff = 0.0
+            for (rx, ox), (rp, op) in zip(outs["xla"][1], outs["pallas"][1]):
+                if not np.array_equal(rx, rp):
+                    bad.append("rewards")
+                    rdiff = max(rdiff, float(np.abs(rx - rp).max()))
+                if not np.array_equal(ox, op):
+                    bad.append("obs")
+            if bad:
+                any_bad = True
+                extra = (f", reward max|d|={rdiff:.3e}"
+                         if "rewards" in bad else "")
+                log(f"KERNEL PARITY FAILURE (design={design} merge={merge}, "
+                    f"compiled pallas vs xla): {sorted(set(bad))}{extra}")
+    if not any_bad:
+        log("kernel parity (compiled pallas vs xla, designs 2/3/4 x "
+            "merge on/off, adversarial seqs): OK")
 
 
 def bench_scale(num_envs: int = 2048, chunk: int = 32):

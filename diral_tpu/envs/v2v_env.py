@@ -336,8 +336,13 @@ def step_collision(cfg: EnvConfig, state: EnvState, actions, t, trace=None):
     st = cfg.state
     if st.piggybacking:
         raise NotImplementedError(
-            "piggybacking=True uses a data-dependent-shape observation "
-            "(test_env.py:241-254); supported by the NumPy oracle only"
+            "piggybacking=True is a formal wontfix for the JAX engine: the "
+            "reference grows each user's obs via np.insert per received "
+            "channel (test_env.py:241-254), a data-dependent shape XLA "
+            "cannot trace -- and the reference path itself crashes on "
+            "prev_obs[None] when no transmitter is in range and produces "
+            "widths that disagree with its own state_space sizing "
+            "(PARITY.md deviation 3); supported by the NumPy oracle only"
         )
     n, c = cfg.num_users, cfg.num_channels
     dtype = state.pos_x.dtype
@@ -676,6 +681,20 @@ def obtain_state(cfg: EnvConfig, state: EnvState, obs, actions, rewards,
         )
         parts.append(fp)
     return jnp.concatenate(parts, axis=1)
+
+
+def state_generator(cfg: EnvConfig, actions, obs) -> jax.Array:
+    """DQN-era state assembly (test_env.py:507-525): per user, one-hot
+    action ++ the LAST user's full channel-observation row (the
+    reference's ``obs[-1]`` "channel_alloc") ++ the user's own
+    first-channel observation truncated to int (the ACK).
+    [N, 2*C + 1]."""
+    n, c = cfg.num_users, cfg.num_channels
+    dtype = obs.dtype
+    onehot = jax.nn.one_hot(actions, c, dtype=dtype)
+    channel_alloc = jnp.broadcast_to(obs[-1], (n, obs.shape[1]))
+    ack = jnp.trunc(obs[:, 0]).astype(dtype)[:, None]
+    return jnp.concatenate([onehot, channel_alloc, ack], axis=1)
 
 
 def information_age(state: EnvState, t) -> jax.Array:

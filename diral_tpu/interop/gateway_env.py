@@ -49,6 +49,13 @@ def neighbor_dist_type1(tx_id: int, table: dict, bins: int) -> np.ndarray:
         return np.zeros(bins, dtype=int)
     edges = np.linspace(-1, 1, bins + 1)
     norm = np.linalg.norm(dists, np.inf)
+    if norm == 0.0:
+        # every fresh neighbor sits exactly at the requester's position
+        # (e.g. the phantom (0, 0) rows of a fresh table): the reference
+        # divides 0/0 and serves NaN to the net (realness_env.py:75-80);
+        # here the direction-free case is the zero histogram, same as the
+        # no-neighbor case above (documented in PARITY.md deviations)
+        return np.zeros(bins, dtype=int)
     normed = np.array(sorted(dists)) / norm
     return np.histogram(normed, edges, weights=normed)[0]
 

@@ -49,6 +49,11 @@ class SNAlignedEpisodes:
         self.rewards = np.zeros((num_agents, capacity), np.float32)
         self.has_sa = np.zeros((num_agents, capacity), bool)
         self.has_r = np.zeros((num_agents, capacity), bool)
+        # flush windows an armed (has_sa-only) slot has survived: a reward
+        # lost forever must not leave its slot armed, or the recycled SN
+        # (sn % capacity collision) would pair the STALE state/action with
+        # the new SN's reward -- the aliasing this class exists to prevent
+        self.sa_age = np.zeros((num_agents, capacity), np.int8)
 
     def record_obs_act(self, agent: int, sn: int, state, action):
         slot = sn % self.capacity
@@ -56,6 +61,7 @@ class SNAlignedEpisodes:
             self.states[agent, slot] = state
             self.actions[agent, slot] = action
             self.has_sa[agent, slot] = True
+            self.sa_age[agent, slot] = 0
 
     def record_reward(self, agent: int, sn: int, reward):
         slot = sn % self.capacity
@@ -94,6 +100,13 @@ class SNAlignedEpisodes:
             # orphan rewards (reward without state/action, e.g. the obs was
             # dropped) must not pair with a future state/action
             self.has_r[a, self.has_r[a] & ~self.has_sa[a]] = False
+            # age slots still awaiting their delayed reward; one full flush
+            # window is the legitimate delay (the last SN's reward rides the
+            # next request), beyond that the reward is lost -- disarm so the
+            # stale state/action cannot pair with a recycled SN's reward
+            armed = self.has_sa[a] & ~self.has_r[a]
+            self.sa_age[a, armed] += 1
+            self.has_sa[a, armed & (self.sa_age[a] > 1)] = False
         return replay
 
 

@@ -47,6 +47,12 @@ from diral_tpu.envs.v2v_env import NO_TX_DIST  # one sentinel, one definition
 
 _PAD_POS = 1.0e9          # padded vehicles sit far outside comm range
 
+# table_seq rides the MXU as its float32 image inside the kernel
+# (ts_ref[:].astype(f32)); integers are exact in f32 only below 2^24.  seq
+# increments once per slot, so any run bounded below this is safe; callers
+# that know the slot horizon (train/loop.py) enforce it up front.
+MAX_EXACT_SEQ = 2 ** 24
+
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m

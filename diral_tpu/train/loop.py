@@ -99,6 +99,19 @@ def make_train_functions(cfg: ExperimentConfig, dtype=jnp.float32, trace=None):
     step_env = E.step_channel if cfg.enable_channel else E.step_collision
     trace = None if trace is None else jnp.asarray(trace, dtype)
 
+    # The Pallas channel kernel carries table_seq as its exact f32 image;
+    # seq increments once per slot, so a horizon at/above 2^24 slots would
+    # silently corrupt the newer-than merge ordering (ops/pallas_step.py).
+    if (cfg.enable_channel and env_cfg.step_impl != "xla"
+            and (env_cfg.step_impl == "pallas" or env_cfg.num_users >= 32)):
+        from diral_tpu.ops.pallas_step import MAX_EXACT_SEQ
+
+        if cfg.time_slots + 1 >= MAX_EXACT_SEQ:
+            raise ValueError(
+                f"time_slots={cfg.time_slots} would push table_seq past "
+                f"2^24, beyond the Pallas step kernel's float32-exact "
+                f"range; set env.step_impl='xla' for this horizon")
+
     v_reset = jax.vmap(lambda k: E.reset(env_cfg, k, dtype))
     v_step = jax.vmap(
         lambda s, a, t: step_env(env_cfg, s, a, t, trace=trace),

@@ -79,6 +79,11 @@ def train_experiment(cfg: ExperimentConfig, workdir: str = ".",
             actions.append(prev_a)
         if cfg.save_positions and prev_p is not None:
             positions.append(prev_p)
+        if rewards:
+            # losses are not dumped to npy, so the preloaded slots have no
+            # recorded loss; pad with NaN so out['loss'] stays slot-aligned
+            # with out['sum_reward'] across a resume
+            losses.append(np.full((rewards[0].shape[0],), np.nan, np.float32))
 
     while t < cfg.time_slots:
         n = min(chunk, cfg.time_slots - t)

@@ -221,6 +221,46 @@ def test_trace_replay():
         np.testing.assert_array_equal(np.asarray(s.pos_x), o.pos_x)
 
 
+def test_state_generator_parity():
+    """DQN-era state assembly (test_env.py:507-525): one-hot action ++ the
+    last user's channel-obs row ++ int-truncated own first-channel obs."""
+    cfg = toy_4ue_3r().env
+    o = make_oracle(cfg, seed=9)
+    s = jax_state_from_oracle(cfg, o)
+    jit_step = jax.jit(jenv.step_collision, static_argnums=0)
+    jit_gen = jax.jit(jenv.state_generator, static_argnums=0)
+    rng = np.random.RandomState(11)
+    for t in range(40):
+        actions = rng.randint(0, cfg.num_channels, size=cfg.num_users)
+        obs_o, _, _ = o.my_step(actions, t)
+        s, obs_j, _ = jit_step(cfg, s, jnp.asarray(actions), t)
+        sg_o = o.state_generator(actions, obs_o)
+        sg_j = jit_gen(cfg, jnp.asarray(actions), obs_j)
+        np.testing.assert_array_equal(np.asarray(sg_j), np.asarray(sg_o),
+                                      err_msg=f"state_generator at t={t}")
+
+
+def test_state_generator_parity_state_type_1():
+    """state_type 1 obs carries binary closest-tx flags (the toy default is
+    type 2, distance obs, which exercises the int() ACK truncation); both
+    obs flavors must assemble identically."""
+    base = toy_4ue_3r().env
+    cfg = dataclasses.replace(base, state=dataclasses.replace(base.state, type=1))
+    o = make_oracle(cfg, seed=13)
+    s = jax_state_from_oracle(cfg, o)
+    jit_step = jax.jit(jenv.step_collision, static_argnums=0)
+    jit_gen = jax.jit(jenv.state_generator, static_argnums=0)
+    rng = np.random.RandomState(17)
+    for t in range(40):
+        actions = rng.randint(0, cfg.num_channels, size=cfg.num_users)
+        obs_o, _, _ = o.my_step(actions, t)
+        s, obs_j, _ = jit_step(cfg, s, jnp.asarray(actions), t)
+        sg_o = o.state_generator(actions, obs_o)
+        sg_j = jit_gen(cfg, jnp.asarray(actions), obs_j)
+        np.testing.assert_array_equal(np.asarray(sg_j), np.asarray(sg_o),
+                                      err_msg=f"state_generator at t={t}")
+
+
 def test_sample_uniform():
     cfg = toy_4ue_3r().env
     acts = jenv.sample_actions(cfg, jax.random.PRNGKey(0))

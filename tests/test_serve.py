@@ -35,6 +35,53 @@ def test_sn_alignment_set_once_and_completeness():
     np.testing.assert_allclose(float(rep3.rewards[0, 0]), 0.5)
 
 
+def test_sn_alignment_lost_reward_disarms():
+    """A has_sa-only slot whose delayed reward never arrives must disarm
+    after one extra flush window: otherwise the recycled SN
+    (sn % capacity collision) pairs the STALE state/action with the new
+    SN's reward (ADVICE round 1, serve.py aging)."""
+    cap = 4
+    ep = SNAlignedEpisodes(num_agents=1, capacity=cap, state_dim=2)
+    rep = ps_drqn.EpisodeReplay.create(4, max_len=8, state_dim=2)
+    ep.record_obs_act(0, 0, np.full(2, 7.0), 3)   # reward lost forever
+    rep = ep.flush(rep)                           # window 1: still armed
+    assert ep.has_sa[0, 0]
+    rep = ep.flush(rep)                           # window 2: disarmed
+    assert not ep.has_sa[0, 0]
+    # the recycled SN (0 + cap) now lands cleanly in the freed slot
+    ep.record_obs_act(0, cap, np.full(2, 9.0), 1)
+    ep.record_reward(0, cap, 0.25)
+    rep = ep.flush(rep)
+    assert int(rep.count) == 1
+    np.testing.assert_allclose(np.asarray(rep.states[0, 0]), np.full(2, 9.0))
+    assert int(rep.actions[0, 0]) == 1
+    # the legitimate one-window delay still works (regression for the
+    # original fix: the last SN's reward rides the NEXT request)
+    ep.record_obs_act(0, 5, np.full(2, 3.0), 2)
+    rep = ep.flush(rep)
+    ep.record_reward(0, 5, 0.5)
+    rep = ep.flush(rep)
+    assert int(rep.count) == 2
+    np.testing.assert_allclose(float(rep.rewards[1, 0]), 0.5)
+
+
+def test_neighbor_dist_type1_all_phantom_no_nan():
+    """All fresh neighbors at the requester's exact position: the reference
+    divides 0/0 (realness_env.py:75-80); we serve the zero histogram
+    (PARITY.md deviation 7) and raise no RuntimeWarning."""
+    from diral_tpu.interop.gateway_env import neighbor_dist_type1
+
+    table = {i: {"xpos": 0.0, "ypos": 0.0, "seq_number": 0,
+                 "last_updated": 0} for i in range(4)}
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        hist = neighbor_dist_type1(0, table, bins=10)
+    np.testing.assert_array_equal(hist, np.zeros(10))
+    assert np.isfinite(hist).all()
+
+
 @needs_gxx
 def test_serve_and_learn_end_to_end():
     cfg = toy_4ue_3r().agent
