@@ -34,6 +34,15 @@ def main():
     cfg = toy_4ue_3r().env
     dtype = jnp.float32
     key = jax.random.PRNGKey(0)
+    # Device acquisition is timed separately from compile: on the axon
+    # TPU tunnel the FIRST op in a fresh process can take 300+ s waiting
+    # for the tunnel to hand over the chip (measured: 311 s for an eager
+    # 1+1), which round-1 misattributed to "compile+warmup" of the toy
+    # rollout (the rollout itself compiles in ~3 s).
+    t = time.perf_counter()
+    float(jnp.asarray(1.0) + 1.0)
+    log(f"device-init (first eager op, tunnel acquisition): "
+        f"{time.perf_counter() - t:.1f}s")
     log("devices:", jax.devices())
 
     reset = jax.vmap(lambda k: E.reset(cfg, k, dtype))

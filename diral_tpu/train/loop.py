@@ -72,7 +72,11 @@ def sample_windows_cross_env(replay: WindowReplay, key, batch: int, step: int):
     scores = jax.random.uniform(k1, (B * S,))
     col = jnp.arange(B * S) % S
     scores = jnp.where(col < valid_per_env, scores, jnp.inf)
-    flat = jnp.argsort(scores)[:batch]
+    # batch smallest scores == uniform w/o replacement; top_k over -scores
+    # selects the identical index set in the identical order as
+    # argsort(scores)[:batch] (both ascending-score, lowest-index ties)
+    # at O(n log k) instead of a full B*S sort
+    _, flat = jax.lax.top_k(-scores, batch)
     env_idx, start = flat // S, flat % S
     oldest = (replay.ptr[0] - replay.count[0]) % S
     idx = (oldest + start[:, None] + jnp.arange(step)[None, :]) % S
