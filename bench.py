@@ -274,9 +274,9 @@ def bench_scaling(per_device_envs: int = 1024, chunk: int = 64):
     >= 80% at n >= 2 hosts."""
     import dataclasses
     from diral_tpu.config import toy_4ue_3r
-    from diral_tpu.parallel.mesh import make_mesh, shard_carry, carry_shardings
+    from diral_tpu.parallel.mesh import make_mesh
     from diral_tpu.train.loop import make_train_functions
-    from functools import partial
+    from diral_tpu.train.runner import make_chunk_runner
 
     counts = []
     n = 1
@@ -292,24 +292,20 @@ def bench_scaling(per_device_envs: int = 1024, chunk: int = 64):
                                        num_envs=per_device_envs * n),
         )
         init_carry, slot_step, _ = make_train_functions(cfg)
-        carry = jax.jit(init_carry)(jax.random.PRNGKey(0))
         mesh = make_mesh(n)
-        with mesh:
-            carry = shard_carry(carry, mesh)
-            sh = carry_shardings(carry, mesh)
+        # the same sharded dispatch production training uses (train
+        # --mesh data=n routes through make_chunk_runner too)
+        shapes = jax.eval_shape(init_carry, jax.random.PRNGKey(0))
+        run_chunk, sh = make_chunk_runner(slot_step, mesh, shapes)
+        carry = jax.jit(init_carry, out_shardings=sh)(jax.random.PRNGKey(0))
 
-            @partial(jax.jit, static_argnames=("m",),
-                     in_shardings=(sh, None), out_shardings=(sh, None))
-            def run_chunk(carry, t0, m: int):
-                return jax.lax.scan(slot_step, carry, t0 + jnp.arange(m))
-
-            t0 = cfg.agent.batch_size + 100
-            carry, _ = run_chunk(carry, jnp.asarray(t0), chunk)
-            jax.block_until_ready(carry)
-            t = time.perf_counter()
-            carry, logs = run_chunk(carry, jnp.asarray(t0 + chunk), chunk)
-            r = float(logs["sum_reward"].sum())
-            dt = time.perf_counter() - t
+        t0 = cfg.agent.batch_size + 100
+        carry, _ = run_chunk(carry, jnp.asarray(t0), chunk)
+        jax.block_until_ready(carry)
+        t = time.perf_counter()
+        carry, logs = run_chunk(carry, jnp.asarray(t0 + chunk), chunk)
+        r = float(logs["sum_reward"].sum())
+        dt = time.perf_counter() - t
         rates[n] = per_device_envs * n * chunk / dt
         eff = rates[n] / (n * rates[1]) if 1 in rates else float("nan")
         log(f"scaling n={n}: {rates[n]:,.0f} env-slots/s "

@@ -25,6 +25,29 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def mesh_from_spec(spec: str) -> Mesh:
+    """Parse a CLI mesh spec: ``"data=8"`` or ``"data=4,model=2"``.
+
+    The production surface of the parallelism layer: ``python -m diral_tpu
+    train --mesh data=8`` routes through here.  Axis names are fixed to
+    the layout this module defines; unknown axes raise."""
+    sizes = {"data": 1, "model": 1}
+    for part in spec.split(","):
+        name, _, val = part.partition("=")
+        name = name.strip()
+        if name not in sizes:
+            raise ValueError(
+                f"unknown mesh axis {name!r} in --mesh {spec!r} "
+                f"(supported: data, model)")
+        sizes[name] = int(val)
+    n = sizes["data"] * sizes["model"]
+    avail = len(jax.devices())
+    if n > avail:
+        raise ValueError(
+            f"--mesh {spec!r} needs {n} devices; only {avail} visible")
+    return make_mesh(n, model_parallel=sizes["model"])
+
+
 def make_mesh(n_devices: int | None = None, model_parallel: int = 1) -> Mesh:
     """Mesh over the first n devices: ("data",) or ("data", "model")."""
     devices = jax.devices() if n_devices is None else jax.devices()[:n_devices]

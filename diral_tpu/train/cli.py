@@ -40,19 +40,27 @@ def _load(args):
 
 
 def cmd_train(args):
+    if args.coordinator:
+        # multi-process SPMD: every process runs this same command with
+        # its own --process-id; the mesh below spans all processes' devices
+        from diral_tpu.parallel.distributed import initialize
+
+        initialize(coordinator_address=args.coordinator,
+                   num_processes=args.num_processes,
+                   process_id=args.process_id)
     cfg = _load(args)
     from diral_tpu.train.runner import run_all_simulations
 
+    kw = dict(workdir=args.workdir, seed=args.seed, resume=args.resume,
+              mesh=args.mesh)
     if args.profile:
         import jax
 
         with jax.profiler.trace(args.profile):
-            run_all_simulations(cfg, workdir=args.workdir, seed=args.seed,
-                                resume=args.resume)
+            run_all_simulations(cfg, **kw)
         print(f"profiler trace written to {args.profile}")
     else:
-        run_all_simulations(cfg, workdir=args.workdir, seed=args.seed,
-                            resume=args.resume)
+        run_all_simulations(cfg, **kw)
 
 
 def cmd_train_ppo(args):
@@ -154,6 +162,13 @@ def main(argv=None):
     sp.add_argument("--resume", action="store_true")
     sp.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler trace into DIR")
+    sp.add_argument("--mesh", default=None, metavar="SPEC",
+                    help='device mesh, e.g. "data=8" or "data=4,model=2": '
+                         "envs shard over data, net hidden dims over model")
+    sp.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                    help="jax.distributed coordinator for multi-process runs")
+    sp.add_argument("--num-processes", type=int, default=None)
+    sp.add_argument("--process-id", type=int, default=None)
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("train-ppo", help="on-policy PPO training")

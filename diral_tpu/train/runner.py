@@ -23,11 +23,59 @@ from diral_tpu.train.loop import make_train_functions
 from diral_tpu.train.metrics import ResultWriter
 
 
+def make_chunk_runner(slot_step, mesh=None, carry_shapes=None):
+    """Jitted chunked scan over slots; THE device dispatch of production
+    training (used by train_experiment and bench.py's scaling bench).
+
+    With a mesh, in/out shardings pin the carry to the parallel layout
+    (env axis on "data", params replicated or TP on "model") so GSPMD
+    compiles one SPMD program per chunk; without one, plain jit.  The
+    carry is donated either way: the previous chunk's training state is
+    dead, XLA reuses its HBM buffers in place."""
+    if mesh is None:
+        @partial(jax.jit, static_argnames=("n",), donate_argnums=(0,))
+        def run_chunk(carry, t0, n: int):
+            return jax.lax.scan(slot_step, carry, t0 + jnp.arange(n))
+        return run_chunk, None
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from diral_tpu.parallel.mesh import carry_shardings
+
+    sh = carry_shardings(carry_shapes, mesh)
+    repl = NamedSharding(mesh, P())
+
+    # logs come out replicated: they are small per-slot scalars/rows, and
+    # a replicated layout keeps np.asarray on them valid on every process
+    # of a multi-host run
+    @partial(jax.jit, static_argnames=("n",), donate_argnums=(0,),
+             in_shardings=(sh, repl), out_shardings=(sh, repl))
+    def run_chunk(carry, t0, n: int):
+        return jax.lax.scan(slot_step, carry, t0 + jnp.arange(n))
+
+    return run_chunk, sh
+
+
 def train_experiment(cfg: ExperimentConfig, workdir: str = ".",
                      seed: int | None = None, chunk_size: int | None = None,
                      resume: bool = False, simulation: int = 0,
-                     dtype=jnp.float32, verbose: bool = True):
-    """Run one simulation of the experiment. Returns (carry, logs dict)."""
+                     dtype=jnp.float32, verbose: bool = True,
+                     mesh=None):
+    """Run one simulation of the experiment. Returns (carry, logs dict).
+
+    ``mesh`` is either a ``jax.sharding.Mesh`` or a CLI spec string like
+    ``"data=8"`` / ``"data=4,model=2"`` (parallel/mesh.py layout): env
+    instances shard over "data", Q-net hidden dims over "model".  All
+    artifacts (episode lines, npy dumps, checkpoints) behave identically;
+    checkpoints save/restore through Orbax with the sharded layout."""
+    if isinstance(mesh, str):
+        from diral_tpu.parallel.mesh import mesh_from_spec
+        mesh = mesh_from_spec(mesh)
+    if mesh is not None:
+        ndata = mesh.shape["data"]
+        if cfg.engine.num_envs % ndata:
+            raise ValueError(
+                f"num_envs={cfg.engine.num_envs} must be divisible by the "
+                f"data-axis size {ndata} (--mesh)")
     trace = None
     if cfg.env.load_positions:
         # recorded-mobility replay fixture (main_test.py:118 ->
@@ -38,15 +86,18 @@ def train_experiment(cfg: ExperimentConfig, workdir: str = ".",
     init_carry, slot_step, _ = make_train_functions(cfg, dtype, trace=trace)
     chunk = chunk_size or max(1, min(cfg.save_freq, 5000))
 
-    # donate the carry: the old training state (env, replay, params) is dead
-    # after each chunk, so XLA reuses its buffers in place (no HBM copies)
-    @partial(jax.jit, static_argnames=("n",), donate_argnums=(0,))
-    def run_chunk(carry, t0, n: int):
-        return jax.lax.scan(slot_step, carry, t0 + jnp.arange(n))
-
     key = jax.random.PRNGKey(cfg.engine.seed if seed is None else seed)
     key = jax.random.fold_in(key, simulation)
-    carry = jax.jit(init_carry)(key)
+    if mesh is not None:
+        # init directly into the sharded layout (works multi-host: the
+        # init computation itself is SPMD; no host-side device_put of
+        # the full carry)
+        shapes = jax.eval_shape(init_carry, key)
+        run_chunk, sh = make_chunk_runner(slot_step, mesh, shapes)
+        carry = jax.jit(init_carry, out_shardings=sh)(key)
+    else:
+        run_chunk, _ = make_chunk_runner(slot_step)
+        carry = jax.jit(init_carry)(key)
 
     mgr = None
     t = 0
@@ -65,10 +116,13 @@ def train_experiment(cfg: ExperimentConfig, workdir: str = ".",
             if verbose:
                 print(f"resumed from slot {t}")
 
+    # host-local artifacts are process-0-only on a multi-host run
+    # (checkpoint saves stay on every process: Orbax saving is collective)
+    primary = jax.process_index() == 0
     writer = ResultWriter(workdir, cfg.experiment_name or "experiment",
-                          simulation)
+                          simulation) if primary else None
     rewards, actions, positions, losses = [], [], [], []
-    if t > 0:
+    if t > 0 and primary:
         # --resume continuity: re-seed the result arrays with the slots
         # already dumped, so the reference-layout npy files cover the whole
         # run (the reference accumulates per-slot logs over the full run)
@@ -97,13 +151,16 @@ def train_experiment(cfg: ExperimentConfig, workdir: str = ".",
 
         eps = float(np.asarray(logs["eps"])[-1])
         mean_r = float(rewards[-1][:, 0].mean())
-        if verbose:
-            writer.episode_line(t - 1, eps,
-                                cfg.env.num_channels - mean_r, mean_r)
-        writer.log({"slot": t, "eps": eps, "mean_sum_reward": mean_r,
-                    "loss": float(losses[-1][-1])})
+        if writer is not None:
+            if verbose:
+                writer.episode_line(t - 1, eps,
+                                    cfg.env.num_channels - mean_r, mean_r)
+            writer.log({"slot": t, "eps": eps, "mean_sum_reward": mean_r,
+                        "loss": float(losses[-1][-1])})
 
-        if cfg.save_results and (t % cfg.save_freq == 0 or t >= cfg.time_slots):
+        if writer is not None and cfg.save_results and (
+            t % cfg.save_freq == 0 or t >= cfg.time_slots
+        ):
             writer.save_arrays(
                 np.concatenate(rewards),
                 np.concatenate(actions),
@@ -116,7 +173,8 @@ def train_experiment(cfg: ExperimentConfig, workdir: str = ".",
         ):
             ckpt.save(mgr, t, carry)
 
-    writer.close()
+    if writer is not None:
+        writer.close()
     out = {
         "sum_reward": np.concatenate(rewards),
         "actions": np.concatenate(actions),

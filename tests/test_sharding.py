@@ -79,6 +79,51 @@ def test_model_parallel_mesh():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 fake devices")
+def test_train_experiment_mesh_production_path(tmp_path):
+    """VERDICT r1 #2: multi-device as a *production* path.  ``train
+    --mesh data=8`` (train_experiment(mesh=...)) must reproduce the
+    single-device run end-to-end -- full short schedule, chunked
+    dispatch, checkpoint written and resumed under sharding."""
+    from diral_tpu.train.runner import train_experiment
+
+    cfg = tiny_cfg(num_envs=8)
+    cfg = dataclasses.replace(cfg, time_slots=64, save_freq=32,
+                              save_results=False, save_model=True,
+                              simulations=1)
+
+    # single-device reference: straight 64-slot run, chunk 32
+    _, ref = train_experiment(cfg, workdir=str(tmp_path / "ref"),
+                              chunk_size=32, verbose=False)
+
+    # sharded run interrupted at slot 32 (checkpoint), then resumed to 64
+    wd = str(tmp_path / "mesh")
+    train_experiment(dataclasses.replace(cfg, time_slots=32), workdir=wd,
+                     chunk_size=32, verbose=False, mesh="data=8")
+    carry, out = train_experiment(cfg, workdir=wd, chunk_size=32,
+                                  verbose=False, resume=True, mesh="data=8")
+
+    # resumed sharded second half == single-device second half
+    np.testing.assert_allclose(out["sum_reward"], ref["sum_reward"][32:],
+                               rtol=1e-6)
+    np.testing.assert_array_equal(out["actions"], ref["actions"][32:])
+    # the carry really lives on the 8-device mesh
+    assert len(carry.history.sharding.device_set) == 8
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 fake devices")
+def test_mesh_from_spec_validation():
+    from diral_tpu.parallel.mesh import mesh_from_spec
+    from diral_tpu.train.runner import train_experiment
+
+    m = mesh_from_spec("data=4,model=2")
+    assert m.shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError, match="unknown mesh axis"):
+        mesh_from_spec("pipeline=2")
+    with pytest.raises(ValueError, match="divisible"):
+        train_experiment(tiny_cfg(num_envs=6), mesh="data=4")
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 fake devices")
 def test_graft_dryrun():
     import __graft_entry__ as g
 
