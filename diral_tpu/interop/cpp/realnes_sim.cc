@@ -17,6 +17,17 @@
 //   neighbor-table merges from each receiver's closest transmitter, and
 //   modular mobility advance -- the same world rules as the Python oracle.
 //
+// Request modes (last CLI arg, default "dist"):
+//   dist  MA_SchedulingRequestSynDist with the piggybacked neighbor table
+//         (reference get_observation_syn_dist path, realness_env.py:360-396)
+//   syn   MA_SchedulingRequestSyn with per-channel sensed RSSI (int dB) as
+//         state; the UE's own last-transmit channel is zeroed, matching the
+//         reference's "already set to zero from the simulator" half-duplex
+//         note (realness_env.py:343-344); agent path get_observation_syn
+//   sps   SPS_SchedulingRequestSyn with per-channel sensed RSSI (double dB)
+//         -- the selection window the reference's v2x_sps consumed
+//         (realness_bridge.py:195-208)
+//
 // An optional reward-collector endpoint serves MA_RewardSentAll on a second
 // port (REP role), mirroring the reference's :5557 collector.
 //
@@ -135,6 +146,21 @@ struct World {
   double dist(int a, int b) const {
     double dx = x[b] - x[a], dy = y[b] - y[a];
     return std::sqrt(dx * dx + dy * dy);
+  }
+
+  // Free-space sensing proxy, the same model as the agent-side toy_rssi
+  // (diral_tpu/agents/sps.py): per channel, the strongest received power
+  // over last round's transmitters on that channel; idle channels sense
+  // the noise floor (v2x_sps.py:20 comment scale).
+  std::vector<double> sense_rssi(int u, const std::vector<int>& last) const {
+    constexpr double kNoiseFloor = -117.0, kRxBusy = -90.0;
+    std::vector<double> out(c, kNoiseFloor);
+    for (int t = 0; t < n; ++t) {
+      if (t == u) continue;
+      double p = kRxBusy - 20.0 * std::log10(std::max(dist(u, t), 1.0));
+      out[last[t]] = std::max(out[last[t]], p);
+    }
+    return out;
   }
 
   // vehicle.py:56-70 for everyone
@@ -268,7 +294,7 @@ void reward_collector(int port, World* world, std::atomic<bool>* stop) {
 int main(int argc, char** argv) {
   if (argc < 6) {
     std::cerr << "usage: realnes_sim <host> <port> <num_users> <num_channels>"
-                 " <rounds> [seed] [reward_port]\n";
+                 " <rounds> [seed] [reward_port] [mode: dist|syn|sps]\n";
     return 2;
   }
   std::string host = argv[1];
@@ -278,6 +304,11 @@ int main(int argc, char** argv) {
   int rounds = std::atoi(argv[5]);
   uint32_t seed = argc > 6 ? static_cast<uint32_t>(std::strtoul(argv[6], nullptr, 10)) : 0u;
   int reward_port = argc > 7 ? std::atoi(argv[7]) : 0;
+  std::string mode = argc > 8 ? argv[8] : "dist";
+  if (mode != "dist" && mode != "syn" && mode != "sps") {
+    std::cerr << "unknown mode " << mode << "\n";
+    return 2;
+  }
 
   World world(n, c, /*len=*/100.0, /*range=*/250.0, seed);
 
@@ -298,8 +329,9 @@ int main(int argc, char** argv) {
     MA_SimInitMsg init;
     init.set_total_users(n + 1);
     init.set_action_space(c);
-    init.set_state_space(n);  // neighbor-table entries per request
-    init.set_state_space_type(2);
+    // dist: neighbor-table entries per request; syn/sps: per-channel RSSI
+    init.set_state_space(mode == "dist" ? n : c);
+    init.set_state_space_type(2);  // RSSI-flavored (realness_env.py:335)
     if (!send_frame(fd, init.SerializeAsString())) return 1;
     std::string ack_raw;
     if (!recv_frame(fd, &ack_raw)) return 1;
@@ -311,20 +343,42 @@ int main(int argc, char** argv) {
   bool stopped = false;
   for (int sn = 0; sn < rounds && !stopped; ++sn) {
     for (int u = 0; u < n; ++u) {
-      MA_SchedulingRequestSynDist req;
       // RealNeS user ids are 1-based ("user 0 disabled"); the agent side
       // subtracts one (realness_env.py:368, realness_bridge.py:88).
-      req.set_user_id(u + 1);
-      req.set_sn(sn);
-      req.set_reward(world.reward[u]);
-      for (int j = 0; j < n; ++j) {
-        MA_NeighborTableEntry* e = req.add_neighbor();
-        e->set_pos_x(world.tx[u][j]);
-        e->set_pos_y(world.ty[u][j]);
-        e->set_seq_num(world.tseq[u][j]);
-        e->set_last_update(world.tage[u][j]);
+      std::string payload;
+      if (mode == "dist") {
+        MA_SchedulingRequestSynDist req;
+        req.set_user_id(u + 1);
+        req.set_sn(sn);
+        req.set_reward(world.reward[u]);
+        for (int j = 0; j < n; ++j) {
+          MA_NeighborTableEntry* e = req.add_neighbor();
+          e->set_pos_x(world.tx[u][j]);
+          e->set_pos_y(world.ty[u][j]);
+          e->set_seq_num(world.tseq[u][j]);
+          e->set_last_update(world.tage[u][j]);
+        }
+        payload = req.SerializeAsString();
+      } else if (mode == "syn") {
+        MA_SchedulingRequestSyn req;
+        req.set_user_id(u + 1);
+        req.set_sn(sn);
+        req.set_reward(world.reward[u]);
+        std::vector<double> rssi = world.sense_rssi(u, actions);
+        // half duplex: the UE cannot sense the channel it transmitted on;
+        // the simulator zeroes it (realness_env.py:343-344 note)
+        rssi[actions[u]] = 0.0;
+        for (double v : rssi) req.add_state(static_cast<int32_t>(v));
+        payload = req.SerializeAsString();
+      } else {  // sps
+        SPS_SchedulingRequestSyn req;
+        req.set_user_id(u + 1);
+        req.set_sn(sn);
+        req.set_reward(world.reward[u]);
+        for (double v : world.sense_rssi(u, actions)) req.add_state(v);
+        payload = req.SerializeAsString();
       }
-      if (!send_frame(fd, req.SerializeAsString())) { stopped = true; break; }
+      if (!send_frame(fd, payload)) { stopped = true; break; }
       std::string grant_raw;
       if (!recv_frame(fd, &grant_raw)) { stopped = true; break; }
       MA_SchedulingGrant grant;

@@ -34,17 +34,27 @@ def build_simulator(force: bool = False) -> str:
     return SIM_BINARY
 
 
-def neighbor_dist_type1(tx_id: int, table: dict, bins: int) -> np.ndarray:
-    """Inf-norm-normalized weighted histogram over [-1, 1] from a received
-    neighbor table (realness_env.py:52-85)."""
+def _signed_dists(tx_id: int, table: dict) -> list[float]:
+    """Signed distances to fresh neighbors (realness_env.py:60-74,193-207).
+    Bit-exactness note: the squares go through ``**2`` (libm pow) with the
+    reference's operand order (tx - rx), because libm pow(x, 2.0) can be
+    1 ULP away from x*x -- measured in this image -- and the golden tests
+    (tests/test_realness_parity.py) assert exact equality."""
     dists = []
     for rx_id in range(len(table)):
         if rx_id == tx_id or table[rx_id]["last_updated"] > STALENESS_CUTOFF:
             continue
-        dx = table[rx_id]["xpos"] - table[tx_id]["xpos"]
-        dy = table[rx_id]["ypos"] - table[tx_id]["ypos"]
-        d = math.sqrt(dx * dx + dy * dy)
-        dists.append(d if dx > 0.0 else -d)
+        x1, y1 = table[rx_id]["xpos"], table[rx_id]["ypos"]
+        x2, y2 = table[tx_id]["xpos"], table[tx_id]["ypos"]
+        d = math.sqrt((x2 - x1) ** 2 + (y2 - y1) ** 2)
+        dists.append(d if x1 - x2 > 0.0 else -d)
+    return dists
+
+
+def neighbor_dist_type1(tx_id: int, table: dict, bins: int) -> np.ndarray:
+    """Inf-norm-normalized weighted histogram over [-1, 1] from a received
+    neighbor table (realness_env.py:52-85)."""
+    dists = _signed_dists(tx_id, table)
     if not dists:
         return np.zeros(bins, dtype=int)
     edges = np.linspace(-1, 1, bins + 1)
@@ -64,14 +74,7 @@ def neighbor_dist_type2(tx_id: int, table: dict, bins: int,
                         state_range: float) -> np.ndarray:
     """Count histogram over +-state_range / neighbor count
     (realness_env.py:87-118)."""
-    dists = []
-    for rx_id in range(len(table)):
-        if rx_id == tx_id or table[rx_id]["last_updated"] > STALENESS_CUTOFF:
-            continue
-        dx = table[rx_id]["xpos"] - table[tx_id]["xpos"]
-        dy = table[rx_id]["ypos"] - table[tx_id]["ypos"]
-        d = math.sqrt(dx * dx + dy * dy)
-        dists.append(d if dx > 0.0 else -d)
+    dists = _signed_dists(tx_id, table)
     if not dists:
         return np.zeros(bins, dtype=int)
     counts = np.histogram(sorted(dists), bins, range=(-state_range, state_range))[0]
@@ -89,6 +92,50 @@ def prr_to_reward(prr: float, design: int) -> float:
     return prr
 
 
+def syn_reward(reward: float) -> float:
+    """RSSI-path reward thresholding (realness_env.py:352-357): a delivery
+    ratio above 0.9 rounds to +1, anything below maps to -exp(1 - r)."""
+    return 1.0 if reward > 0.9 else -math.exp(1.0 - reward)
+
+
+def distance_based_rewards(acts, pos, action_size: int) -> dict[int, float]:
+    """Per-user reward from reported actions + x-positions
+    (realness_env.py:120-191): sole transmitter on a resource earns +1; two
+    co-channel transmitters earn ``2*exp(d/dmax-like weight) - 2`` scaled by
+    how far apart they are relative to the widest user span (far pairs are
+    spatially reused, near pairs collide); three or more earn -count.
+
+    Returns a dict keyed by user id.  NOTE the reference returns
+    ``rews.values()`` -- a dict-values view whose iteration order is
+    RESOURCE-grouped (users sharing a channel appear consecutively), not
+    user-ordered (realness_env.py:146-152); callers needing per-user order
+    must index the dict, which is what this returns."""
+    rews: dict[int, float] = {}
+    for res in range(action_size):
+        transmitters = [u for u in range(len(acts)) if acts[u] == res]
+        if not transmitters:
+            continue
+        if len(transmitters) == 1:
+            reward = 1.0
+        elif len(transmitters) == 2:
+            # weight = exp(dist)/exp(span) (realness_env.py:154-191), with
+            # the reference's sqrt((a-b)**2) spelling for bit-exactness;
+            # beyond span ~700 (where the reference's exp overflows) the
+            # mathematically identical exp(dist - span) takes over
+            d = math.sqrt(
+                (pos[transmitters[1]] - pos[transmitters[0]]) ** 2)
+            span = math.sqrt((max(pos) - min(pos)) ** 2)
+            if span < 700.0:
+                reward = 2.0 * (math.exp(d) / math.exp(span)) - 2.0
+            else:
+                reward = 2.0 * math.exp(d - span) - 2.0
+        else:
+            reward = -float(len(transmitters))
+        for u in transmitters:
+            rews[u] = reward
+    return rews
+
+
 class GatewayEnv:
     """Reference ``RealnessEnv`` public surface over the framed-TCP bridge."""
 
@@ -98,6 +145,8 @@ class GatewayEnv:
         self.start_sim = kwargs.setdefault("sim_start", False)
         self.sim_seed = kwargs.setdefault("sim_seed", 0)
         self.reward_design = kwargs.setdefault("reward_design", 4)
+        self.distance_based_reward = kwargs.setdefault(
+            "distance_based_reward", False)
         self.state_design = kwargs.setdefault("state_design", 1)
         self.pos_dist = kwargs.setdefault("pos_dist", 2)
         self.state_range = kwargs.setdefault("state_range", 250)
@@ -108,6 +157,9 @@ class GatewayEnv:
         self.sim_channels = kwargs.setdefault("sim_channels", 3)
         self.sim_rounds = kwargs.setdefault("sim_rounds", 1000)
         self.sim_reward_port = kwargs.setdefault("sim_reward_port", 0)
+        # request flavor the simulator emits: dist | syn | sps (see
+        # cpp/realnes_sim.cc mode table)
+        self.sim_mode = kwargs.setdefault("sim_mode", "dist")
 
         self.bridge = RealNeSBridge(
             self.port,
@@ -124,7 +176,9 @@ class GatewayEnv:
         self.state_space = None
         self.state_type = None
         self.obs_size = None
+        self.rssi_norm = -97  # lowest detected RSSI (realness_env.py:34)
         self.last_actions: dict[int, int] = {}
+        self.first_transmissions: dict[int, bool] = {}
 
     # -- simulator process control (realness_env.py:224-252) ------------
 
@@ -133,8 +187,10 @@ class GatewayEnv:
         argv = [binary, "127.0.0.1", str(self.port), str(self.sim_users),
                 str(self.sim_channels), str(self.sim_rounds),
                 str(self.sim_seed)]
-        if self.sim_reward_port:
+        if self.sim_reward_port or self.sim_mode != "dist":
             argv.append(str(self.sim_reward_port))
+        if self.sim_mode != "dist":
+            argv.append(self.sim_mode)
         self.sim_process = subprocess.Popen(
             argv, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
         )
@@ -169,9 +225,43 @@ class GatewayEnv:
         if self.add_index:
             self.state_space += 1
         for user in range(self.bridge.get_total_users() + 1):
-            self.last_actions[user] = 1
+            self.last_actions[user] = 1  # realness_env.py:296-299
+            self.first_transmissions[user] = True
 
     # -- observation paths ----------------------------------------------
+
+    def get_observation(self):
+        """Plain (non-synchronized) state path (realness_env.py:330-331):
+        the raw per-request observation, no reward attached."""
+        return self.bridge.get_observation()
+
+    def get_observation_syn(self):
+        """RSSI/traffic request -> (user_id, sn, state, reward)
+        (realness_env.py:333-358).
+
+        State types 2/5/6 carry per-channel RSSI in dB: normalized as
+        ``(s - rssi_norm) / rssi_norm`` with rssi_norm = -97 (the noise
+        floor maps near 0, hot channels go negative).  State type 1 carries
+        detected traffic: the UE's own last-transmit channel is zeroed
+        (half duplex).  The reward thresholds through ``syn_reward``."""
+        user_id, sn, state, reward = self.bridge.get_observation_syn()
+        self.last_prr = reward  # raw delivery ratio before thresholding
+        state = np.asarray(state, np.float64)
+        if self.state_type in (2, 5, 6):
+            state = (state - self.rssi_norm) / self.rssi_norm
+        elif self.state_type == 1:
+            state[self.last_actions[user_id]] = 0
+        return user_id, sn, state, syn_reward(reward)
+
+    def get_observation_syn_sps(self):
+        """SPS selection window -> (user_id, sn, rssi window, raw reward)
+        (realness_bridge.py:195-208; the reference applies no mapping on
+        this path -- SPS consumes raw RSSI, the reward is telemetry)."""
+        return self.bridge.get_observation_syn_sps()
+
+    def set_last_action(self, user: int, action: int):
+        """realness_env.py:209-216."""
+        self.last_actions[user] = action
 
     def get_observation_syn_dist(self):
         """Neighbor-table request -> (user_id, sn, state, reward, pos_x)
@@ -179,6 +269,7 @@ class GatewayEnv:
         user_id, sn, table, prr = self.bridge.get_observation_syn_dist()
         tx = user_id - 1 if self.bridge.disable_one_user else user_id
         pos_x = table[tx]["xpos"]
+        self.last_prr = prr  # raw PRR telemetry for eval/comparison loops
         if self.pos_dist == 1:
             state = neighbor_dist_type1(tx, table, self.state_bins)
         elif self.pos_dist == 2:
@@ -211,6 +302,15 @@ class GatewayEnv:
 
     def get_total_users(self):
         return self.bridge.get_total_users()
+
+    def get_state_type(self):
+        return self.state_type
+
+    def get_add_reward_flag(self):
+        return self.add_reward
+
+    def get_add_index_flag(self):
+        return self.add_index
 
     def obtain_state(self, obs, acts, rewards):
         """DRQN state assembly (realness_env.py:413-434): one-hot action +

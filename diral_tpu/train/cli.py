@@ -3,10 +3,11 @@
 Replaces the reference's hardcoded experiment list in ``__main__``
 (main_test.py:267-295) with subcommands over config files:
 
-    python -m diral_tpu train     <config.yaml> [--slots N] [--seed S] ...
+    python -m diral_tpu train     <config.yaml> [--slots N] [--mesh SPEC] ...
     python -m diral_tpu train-ppo <config.yaml> [--episodes N]
     python -m diral_tpu eval      <config.yaml> [--checkpoint DIR] [--steps N]
     python -m diral_tpu compare-sps <config.yaml> [--steps N]
+    python -m diral_tpu serve     [--mode drqn|drqn-rssi|sps|compare] ...
     python -m diral_tpu bench
 
 Reference YAMLs load as-is; the ``realness`` flag routes to the interop
@@ -139,6 +140,62 @@ def cmd_compare_sps(args):
                                          steps=args.steps)))
 
 
+def cmd_serve(args):
+    """Online serving against the in-repo C++ RealNeS stand-in: the
+    reference's intended-but-never-runnable external-simulator mode
+    (main_test.py:291-293 hard-disables it), live here."""
+    from diral_tpu.config import load_config, toy_4ue_3r
+
+    if args.config:
+        acfg = load_config(args.config).agent
+    else:
+        acfg = toy_4ue_3r().agent
+        acfg = dataclasses.replace(
+            acfg, batch_size=4, unroll_step=8, target_update=16,
+            network=dataclasses.replace(acfg.network, use_lstm_input=False,
+                                        use_dueling=False, layers=(32, 32)),
+        )
+
+    from diral_tpu.interop.gateway_env import GatewayEnv
+    from diral_tpu.interop.serve import (compare_sps_over_gateway,
+                                         serve_and_learn,
+                                         serve_and_learn_dqn, serve_sps)
+
+    seed = args.seed or 0
+    if args.mode == "compare":
+        print(json.dumps(compare_sps_over_gateway(
+            acfg, sim_users=args.users, sim_channels=args.channels,
+            rounds=args.rounds, train_every=args.train_every, eps=args.eps,
+            eps_final=args.eps_final, seed=seed)))
+        return
+
+    sim_mode = {"drqn": "dist", "drqn-rssi": "syn", "ps-dqn": "syn",
+                "sps": "sps"}[args.mode]
+    env = GatewayEnv(port=args.port, sim_start=True, sim_users=args.users,
+                     sim_channels=args.channels, sim_rounds=args.rounds + 5,
+                     sim_seed=seed, sim_mode=sim_mode, state_design=2,
+                     pos_dist=2, reward_design=args.reward_design,
+                     distance_based_reward=args.distance_reward)
+    try:
+        if args.mode == "sps":
+            print(json.dumps(serve_sps(env, args.rounds, seed=seed)))
+        elif args.mode == "ps-dqn":
+            _, stats = serve_and_learn_dqn(
+                env, acfg, args.rounds, train_every=args.train_every,
+                eps=args.eps, eps_final=args.eps_final, seed=seed)
+            stats["losses"] = stats["losses"][-5:]
+            print(json.dumps(stats))
+        else:
+            _, stats = serve_and_learn(
+                env, acfg, args.rounds, train_every=args.train_every,
+                eps=args.eps, eps_final=args.eps_final, seed=seed,
+                mode=sim_mode)
+            stats["losses"] = stats["losses"][-5:]
+            print(json.dumps(stats))
+    finally:
+        env.close()
+
+
 def cmd_bench(args):
     import bench
 
@@ -197,6 +254,30 @@ def main(argv=None):
     sp.add_argument("--checkpoint", default=None)
     sp.add_argument("--steps", type=int, default=500)
     sp.set_defaults(fn=cmd_compare_sps)
+
+    sp = sub.add_parser(
+        "serve", help="online serving against the C++ RealNeS stand-in")
+    sp.add_argument("--config", default=None,
+                    help="optional YAML for the agent section")
+    sp.add_argument("--mode", default="drqn",
+                    choices=["drqn", "drqn-rssi", "ps-dqn", "sps", "compare"],
+                    help="drqn: neighbor-table states; drqn-rssi: RSSI "
+                         "states; ps-dqn: feedforward PS-DQN on RSSI "
+                         "states; sps: the SPS baseline online; compare: "
+                         "DIRAL-vs-SPS tail PRR on the same world seed")
+    sp.add_argument("--users", type=int, default=8)
+    sp.add_argument("--channels", type=int, default=6)
+    sp.add_argument("--rounds", type=int, default=400)
+    sp.add_argument("--train-every", type=int, default=25)
+    sp.add_argument("--eps", type=float, default=0.3)
+    sp.add_argument("--eps-final", type=float, default=0.02)
+    sp.add_argument("--reward-design", type=int, default=2)
+    sp.add_argument("--distance-reward", action="store_true",
+                    help="rewards from reported positions "
+                         "(realness_env.py:120-191) instead of PRR")
+    sp.add_argument("--port", type=int, default=0)
+    sp.add_argument("--seed", type=int, default=None)
+    sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("bench", help="run the throughput benchmark")
     sp.set_defaults(fn=cmd_bench)
