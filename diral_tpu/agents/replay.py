@@ -82,6 +82,31 @@ class WindowReplay(struct.PyTreeNode):
             count=jnp.minimum(self.count + 1, self.capacity),
         )
 
+    @staticmethod
+    def add_lockstep(replay: "WindowReplay", state, action, reward,
+                     next_state) -> "WindowReplay":
+        """Batched-env ``add`` exploiting lockstep pointers.
+
+        The training loop steps all env instances together, so every env's
+        write pointer is identical.  ``vmap(WindowReplay.add)`` cannot see
+        that and lowers each per-env ``.at[ptr].set`` to a scatter with
+        per-env indices -- measured 21 us per array per slot on v5e, the
+        single largest slot cost.  With the shared scalar pointer the same
+        write is one ``dynamic_update_slice`` along the slot axis (~1 us).
+        Bit-identical to ``vmap(WindowReplay.add)``; ``replay`` is the
+        vmapped pytree ([B, S, ...] buffers, [B] ptr/count)."""
+        i = replay.ptr[0]
+        ins = lambda buf, x: jax.lax.dynamic_update_index_in_dim(
+            buf, jnp.asarray(x, buf.dtype), i, axis=1)
+        return replay.replace(
+            states=ins(replay.states, state),
+            actions=ins(replay.actions, action),
+            rewards=ins(replay.rewards, reward),
+            next_states=ins(replay.next_states, next_state),
+            ptr=(replay.ptr + 1) % replay.states.shape[1],
+            count=jnp.minimum(replay.count + 1, replay.states.shape[1]),
+        )
+
     def _ring_index(self, deque_idx):
         """Map deque position (0 = oldest) to ring position."""
         oldest = (self.ptr - self.count) % self.capacity

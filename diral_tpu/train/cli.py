@@ -101,6 +101,14 @@ def cmd_train_sweep(args):
     print(json.dumps(rows))
 
 
+def _ckpt_dir(args):
+    """--best swaps in the best-metric snapshot the runner keeps alongside
+    the rolling checkpoints (the pre-greedy-collapse policy)."""
+    if getattr(args, "best", False):
+        return args.checkpoint.rstrip("/") + "_best"
+    return args.checkpoint
+
+
 def cmd_eval(args):
     import jax
 
@@ -114,7 +122,7 @@ def cmd_eval(args):
     carry = jax.jit(init_carry)(jax.random.PRNGKey(args.seed or 0))
     learner = carry.learner
     if args.checkpoint:
-        mgr = ckpt.checkpoint_manager(args.checkpoint)
+        mgr = ckpt.checkpoint_manager(_ckpt_dir(args))
         carry, step = ckpt.restore(mgr, carry)
         learner = carry.learner
         print(f"loaded checkpoint at slot {step}")
@@ -133,7 +141,7 @@ def cmd_compare_sps(args):
     init_carry, _, _ = make_train_functions(cfg)
     carry = jax.jit(init_carry)(jax.random.PRNGKey(args.seed or 0))
     if args.checkpoint:
-        mgr = ckpt.checkpoint_manager(args.checkpoint)
+        mgr = ckpt.checkpoint_manager(_ckpt_dir(args))
         carry, _ = ckpt.restore(mgr, carry)
     print(json.dumps(compare_drqn_vs_sps(cfg, carry.learner,
                                          jax.random.PRNGKey(1),
@@ -149,11 +157,13 @@ def cmd_serve(args):
     if args.config:
         acfg = load_config(args.config).agent
     else:
+        # defaults tuned on the 8-user/6-channel world: beats SPS by
+        # +16.6 PRR points at 2500 rounds (RESULTS.md, online comparison)
         acfg = toy_4ue_3r().agent
         acfg = dataclasses.replace(
-            acfg, batch_size=4, unroll_step=8, target_update=16,
+            acfg, batch_size=16, unroll_step=8, target_update=32,
             network=dataclasses.replace(acfg.network, use_lstm_input=False,
-                                        use_dueling=False, layers=(32, 32)),
+                                        use_dueling=False, layers=(64, 64)),
         )
 
     from diral_tpu.interop.gateway_env import GatewayEnv
@@ -165,7 +175,8 @@ def cmd_serve(args):
     if args.mode == "compare":
         print(json.dumps(compare_sps_over_gateway(
             acfg, sim_users=args.users, sim_channels=args.channels,
-            rounds=args.rounds, train_every=args.train_every, eps=args.eps,
+            rounds=args.rounds, train_every=args.train_every,
+            n_batches=args.n_batches, eps=args.eps,
             eps_final=args.eps_final, seed=seed)))
         return
 
@@ -182,14 +193,15 @@ def cmd_serve(args):
         elif args.mode == "ps-dqn":
             _, stats = serve_and_learn_dqn(
                 env, acfg, args.rounds, train_every=args.train_every,
-                eps=args.eps, eps_final=args.eps_final, seed=seed)
+                n_batches=args.n_batches, eps=args.eps,
+                eps_final=args.eps_final, seed=seed)
             stats["losses"] = stats["losses"][-5:]
             print(json.dumps(stats))
         else:
             _, stats = serve_and_learn(
                 env, acfg, args.rounds, train_every=args.train_every,
-                eps=args.eps, eps_final=args.eps_final, seed=seed,
-                mode=sim_mode)
+                n_batches=args.n_batches, eps=args.eps,
+                eps_final=args.eps_final, seed=seed, mode=sim_mode)
             stats["losses"] = stats["losses"][-5:]
             print(json.dumps(stats))
     finally:
@@ -246,12 +258,17 @@ def main(argv=None):
     sp = sub.add_parser("eval", help="greedy evaluation of a checkpoint")
     common(sp)
     sp.add_argument("--checkpoint", default=None)
+    sp.add_argument("--best", action="store_true",
+                    help="use the best-reward snapshot (<ckpt>_best) "
+                         "instead of the latest")
     sp.add_argument("--steps", type=int, default=500)
     sp.set_defaults(fn=cmd_eval)
 
     sp = sub.add_parser("compare-sps", help="DIRAL vs SPS PRR comparison")
     common(sp)
     sp.add_argument("--checkpoint", default=None)
+    sp.add_argument("--best", action="store_true",
+                    help="use the best-reward snapshot (<ckpt>_best)")
     sp.add_argument("--steps", type=int, default=500)
     sp.set_defaults(fn=cmd_compare_sps)
 
@@ -268,8 +285,9 @@ def main(argv=None):
     sp.add_argument("--users", type=int, default=8)
     sp.add_argument("--channels", type=int, default=6)
     sp.add_argument("--rounds", type=int, default=400)
-    sp.add_argument("--train-every", type=int, default=25)
-    sp.add_argument("--eps", type=float, default=0.3)
+    sp.add_argument("--train-every", type=int, default=10)
+    sp.add_argument("--n-batches", type=int, default=4)
+    sp.add_argument("--eps", type=float, default=0.5)
     sp.add_argument("--eps-final", type=float, default=0.02)
     sp.add_argument("--reward-design", type=int, default=2)
     sp.add_argument("--distance-reward", action="store_true",

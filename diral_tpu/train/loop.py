@@ -65,7 +65,23 @@ class TrainCarry(struct.PyTreeNode):
 def sample_windows_cross_env(replay: WindowReplay, key, batch: int, step: int):
     """Uniform window sample across the env axis: flatten the (env, start)
     space, draw without replacement, gather windows from the owning env.
-    With one env this reduces to the reference sampler (memory.py:177-194)."""
+    With one env this reduces to the reference sampler (memory.py:177-194).
+
+    TPU gather layout: v5e gathers are DMA-descriptor-bound (~110 ns per
+    gathered row regardless of row size), so the four per-array window
+    gathers are collapsed into two:
+
+    * ``next_states`` windows are the ``states`` windows shifted one slot
+      (ring-contiguity invariant: the state stored at slot k+1 IS slot k's
+      next_state -- the env never resets mid-run and pretrain/train write
+      one unbroken chain), so ONE states gather of ``step+1`` slots serves
+      both; asserted bit-equal to the direct gather in
+      tests/test_learner.py.
+    * actions and rewards ride one gather via a stacked [.., 2] view
+      (action channel ids are tiny ints, exact in the reward dtype).
+
+    Measured 2x on the whole gather phase (53 -> 26 ms / 40 train events).
+    """
     B, S = replay.states.shape[0], replay.states.shape[1]
     valid_per_env = replay.count[0] - step  # lockstep: all counts equal
     k1, = jax.random.split(key, 1)
@@ -79,13 +95,23 @@ def sample_windows_cross_env(replay: WindowReplay, key, batch: int, step: int):
     _, flat = jax.lax.top_k(-scores, batch)
     env_idx, start = flat // S, flat % S
     oldest = (replay.ptr[0] - replay.count[0]) % S
-    idx = (oldest + start[:, None] + jnp.arange(step)[None, :]) % S
-    take = lambda arr: arr[env_idx[:, None], idx]
+    idx1 = (oldest + start[:, None] + jnp.arange(step + 1)[None, :]) % S
+    sw = replay.states[env_idx[:, None], idx1]     # [batch, step+1, N, D]
+    rdtype = replay.rewards.dtype
+    ar = jnp.stack([replay.rewards,
+                    replay.actions.astype(rdtype)], axis=-1)  # [B, S, N, 2]
+    arw = ar[env_idx[:, None], idx1[:, :step]]     # [batch, step, N, 2]
+    # barrier: without it XLA's default-matmul-precision bf16 convert on the
+    # downstream Q-net inputs gets hoisted THROUGH these gathers onto the
+    # whole replay buffer -- measured as two 0.7 ms layout+dtype copies of
+    # the full [B, S, N, D] states per train event on v5e (27% of the
+    # event).  The barrier pins the convert to the small gathered batch.
+    sw, arw = jax.lax.optimization_barrier((sw, arw))
     return {
-        "states": take(replay.states),
-        "actions": take(replay.actions),
-        "rewards": take(replay.rewards),
-        "next_states": take(replay.next_states),
+        "states": sw[:, :step],
+        "actions": arw[..., 1].astype(replay.actions.dtype),
+        "rewards": arw[..., 0],
+        "next_states": sw[:, 1:],
     }
 
 
@@ -126,7 +152,9 @@ def make_train_functions(cfg: ExperimentConfig, dtype=jnp.float32, trace=None):
         in_axes=(0, 0, 0, 0, None, None),
     )
     v_sample = jax.vmap(lambda k: E.sample_actions(env_cfg, k))
-    v_add = jax.vmap(WindowReplay.add)
+    # all envs advance in lockstep -> shared write pointer -> one
+    # dynamic_update_slice instead of vmap(add)'s per-env scatters
+    v_add = WindowReplay.add_lockstep
     v_ia = jax.vmap(E.information_age, in_axes=(0, None))
 
     # softmax temperature anneal over total episodes (drl_drqn.py:99,
@@ -232,7 +260,12 @@ def make_train_functions(cfg: ExperimentConfig, dtype=jnp.float32, trace=None):
             ),
         )
 
-    def slot_step(carry: TrainCarry, t):
+    def slot_core(carry: TrainCarry, t):
+        """One slot WITHOUT the train event: inference, action selection,
+        env step, shaping, replay/history update.  Returns
+        (carry, logs-sans-loss, k_train) so the two dispatch grains below
+        can share it.  ``k_train`` is split here so the RNG stream is
+        identical whichever grain consumes it."""
         key, k_act, k_vel, k_train = jax.random.split(carry.key, 4)
         episode = (t // cfg.episode_interval).astype(jnp.int32)
         # positions are logged BEFORE the env step, as the reference does
@@ -325,6 +358,24 @@ def make_train_functions(cfg: ExperimentConfig, dtype=jnp.float32, trace=None):
                 vel=jnp.where(episode_end, kicked.vel, env_state.vel)
             )
 
+        carry = TrainCarry(
+            env_state=env_state, history=history, state=next_state,
+            replay=replay, learner=carry.learner, eps_state=eps_state,
+            beta=beta_state.beta, sum_ia_prev=sum_ia_prev,
+            ia_counter=ia_counter, prev_actions=prev_actions, key=key,
+        )
+        logs = {
+            "sum_reward": sum_r,            # [B] raw per-slot sum (main_test.py:171)
+            "actions": actions,             # [B, N]
+            "eps": eps_state.eps,
+            # pre-step positions, as the reference logs them before my_step
+            # (main_test.py:140-142); `carry` above is already the NEXT
+            # carry, so this must use the snapshot taken at slot entry
+            "pos_x": pos_pre if cfg.save_positions else jnp.zeros((0,)),
+        }
+        return carry, logs, k_train
+
+    def train_gate(t, replay):
         window = T if acfg.network.use_lstm_input else 1
         if cfg.train_after_episode:
             do_train = (
@@ -340,30 +391,55 @@ def make_train_functions(cfg: ExperimentConfig, dtype=jnp.float32, trace=None):
             do_train = (t < cfg.training_stop) & enough
         if not cfg.training:
             do_train = jnp.asarray(False)
+        return do_train
 
+    def slot_step(carry: TrainCarry, t):
+        carry, logs, k_train = slot_core(carry, t)
         learner, loss = jax.lax.cond(
-            do_train,
-            lambda l: train_call(l, replay, k_train, t),
+            train_gate(t, carry.replay),
+            lambda l: train_call(l, carry.replay, k_train, t),
             lambda l: (l, jnp.zeros((), dtype)),  # dtype: f64 runs must
             carry.learner,                        # match the train branch
         )
+        carry = carry.replace(learner=learner)
+        logs = dict(logs, loss=loss)
+        return carry, logs
 
-        carry = TrainCarry(
-            env_state=env_state, history=history, state=next_state,
-            replay=replay, learner=learner, eps_state=eps_state,
-            beta=beta_state.beta, sum_ia_prev=sum_ia_prev,
-            ia_counter=ia_counter, prev_actions=prev_actions, key=key,
-        )
-        logs = {
-            "sum_reward": sum_r,            # [B] raw per-slot sum (main_test.py:171)
-            "actions": actions,             # [B, N]
-            "loss": loss,
-            "eps": eps_state.eps,
-            # pre-step positions, as the reference logs them before my_step
-            # (main_test.py:140-142); `carry` above is already the NEXT
-            # carry, so this must use the snapshot taken at slot entry
-            "pos_x": pos_pre if cfg.save_positions else jnp.zeros((0,)),
-        }
+    def episode_step(carry: TrainCarry, e):
+        """One full episode (``episode_interval`` slots + the episodic train
+        event) -- the production dispatch grain for train_after_episode
+        configs, bit-identical to ``episode_interval`` slot_step calls.
+
+        Why it exists (TPU): slot_step wraps the train event in a
+        ``lax.cond`` evaluated every slot; XLA passes the captured replay
+        buffers (~200 MB at B=256) through the conditional by value, and the
+        measured copies were 27% of the whole train event (profiled on
+        v5e: 1.4 ms of 5.25 ms per event).  At episode grain the train call
+        runs unconditionally -- straight-line code, no conditional, no
+        copies -- and a ``jnp.where`` keeps the old learner while the
+        reference gate (t > batch_size + 10, main_test.py:235) is still
+        false; the discarded speculative train steps only happen in the
+        first ~(batch_size+10)/interval episodes of a run."""
+        t0 = e * cfg.episode_interval
+        def body(c, t):
+            c, logs, k_train = slot_core(c, t)
+            return c, (logs, k_train)
+        carry, (logs, k_trains) = jax.lax.scan(
+            body, carry, t0 + jnp.arange(cfg.episode_interval),
+            unroll=min(5, cfg.episode_interval))
+        t_last = t0 + cfg.episode_interval - 1
+        do_train = train_gate(t_last, carry.replay)
+        trained, loss = train_call(carry.learner, carry.replay,
+                                   k_trains[-1], t_last)
+        learner = jax.tree.map(
+            lambda new, old: jnp.where(do_train, new, old),
+            trained, carry.learner)
+        carry = carry.replace(learner=learner)
+        # per-slot loss layout identical to slot_step: zeros except the
+        # episode-end slot
+        loss_row = jnp.zeros((cfg.episode_interval,), dtype).at[-1].set(
+            jnp.where(do_train, loss, jnp.zeros((), dtype)))
+        logs = dict(logs, loss=loss_row)
         return carry, logs
 
     @partial(jax.jit, static_argnames=("num_slots",))
@@ -372,6 +448,12 @@ def make_train_functions(cfg: ExperimentConfig, dtype=jnp.float32, trace=None):
         carry, logs = jax.lax.scan(slot_step, carry, jnp.arange(num_slots))
         return carry, logs
 
+    # Episode-grain dispatch is only meaningful (and only bit-identical)
+    # when the train cadence IS episodic; the runner falls back to
+    # slot_step otherwise and for interval-unaligned chunk remainders.
+    slot_step.episode_step = (
+        episode_step if cfg.training and cfg.train_after_episode else None)
+    slot_step.episode_interval = cfg.episode_interval
     return init_carry, slot_step, run
 
 

@@ -27,30 +27,60 @@ def make_chunk_runner(slot_step, mesh=None, carry_shapes=None):
     """Jitted chunked scan over slots; THE device dispatch of production
     training (used by train_experiment and bench.py's scaling bench).
 
+    Two compiled grains share one signature ``run_chunk(carry, t0, n)``
+    (slots in, slots out):
+
+    * episode grain -- when the config trains after episodes and the chunk
+      aligns to ``episode_interval``, the scan body is ``episode_step``
+      (loop.py): no per-slot ``lax.cond`` around the train event, so XLA
+      emits no conditional-operand copies of the replay (measured 27% of
+      the train event on v5e).  Bit-identical to slot grain.
+    * slot grain -- the general fallback (per-slot cadence, unaligned
+      remainder chunks).
+
     With a mesh, in/out shardings pin the carry to the parallel layout
     (env axis on "data", params replicated or TP on "model") so GSPMD
     compiles one SPMD program per chunk; without one, plain jit.  The
     carry is donated either way: the previous chunk's training state is
     dead, XLA reuses its HBM buffers in place."""
-    if mesh is None:
-        @partial(jax.jit, static_argnames=("n",), donate_argnums=(0,))
-        def run_chunk(carry, t0, n: int):
-            return jax.lax.scan(slot_step, carry, t0 + jnp.arange(n))
-        return run_chunk, None
+    kw = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from diral_tpu.parallel.mesh import carry_shardings
 
-    from jax.sharding import NamedSharding, PartitionSpec as P
-    from diral_tpu.parallel.mesh import carry_shardings
+        sh = carry_shardings(carry_shapes, mesh)
+        repl = NamedSharding(mesh, P())
+        # logs come out replicated: they are small per-slot scalars/rows,
+        # and a replicated layout keeps np.asarray on them valid on every
+        # process of a multi-host run
+        kw = dict(in_shardings=(sh, repl), out_shardings=(sh, repl))
+    else:
+        sh = None
 
-    sh = carry_shardings(carry_shapes, mesh)
-    repl = NamedSharding(mesh, P())
-
-    # logs come out replicated: they are small per-slot scalars/rows, and
-    # a replicated layout keeps np.asarray on them valid on every process
-    # of a multi-host run
-    @partial(jax.jit, static_argnames=("n",), donate_argnums=(0,),
-             in_shardings=(sh, repl), out_shardings=(sh, repl))
-    def run_chunk(carry, t0, n: int):
+    @partial(jax.jit, static_argnames=("n",), donate_argnums=(0,), **kw)
+    def run_slots(carry, t0, n: int):
         return jax.lax.scan(slot_step, carry, t0 + jnp.arange(n))
+
+    episode_step = getattr(slot_step, "episode_step", None)
+    interval = getattr(slot_step, "episode_interval", 0)
+    if episode_step is None:
+        return run_slots, sh
+
+    @partial(jax.jit, static_argnames=("n",), donate_argnums=(0,), **kw)
+    def run_episodes(carry, t0, n: int):
+        carry, logs = jax.lax.scan(
+            episode_step, carry,
+            t0 // interval + jnp.arange(n // interval))
+        # [episodes, interval, ...] -> per-slot layout, same as run_slots
+        logs = jax.tree.map(
+            lambda x: x.reshape((n,) + x.shape[2:]), logs)
+        return carry, logs
+
+    def run_chunk(carry, t0, n: int):
+        t0_i = int(t0)
+        if t0_i % interval == 0 and n % interval == 0 and n > 0:
+            return run_episodes(carry, jnp.asarray(t0), n)
+        return run_slots(carry, jnp.asarray(t0), n)
 
     return run_chunk, sh
 
@@ -105,6 +135,22 @@ def train_experiment(cfg: ExperimentConfig, workdir: str = ".",
                             cfg.experiment_name or "experiment")
     if cfg.save_model or resume:
         mgr = ckpt.checkpoint_manager(ckpt_dir)
+    # Best-checkpoint tracking: parameter-shared eps-greedy DQN can collapse
+    # to the degenerate all-same-channel equilibrium at the greedy switch
+    # (2/8 seeds in the RESULTS.md sweep).  Alongside the rolling latest
+    # checkpoints, the snapshot with the best chunk-mean sum reward is kept
+    # in <ckpt_dir>_best, so greedy evaluation can use the pre-collapse
+    # policy: `eval/compare-sps --checkpoint DIR --best`.
+    mgr_best, best_metric = None, float("-inf")
+    best_dir = ckpt_dir + "_best"
+    if cfg.save_model:
+        mgr_best = ckpt.checkpoint_manager(best_dir, max_to_keep=1)
+        marker = os.path.join(best_dir, "best_metric.json")
+        if resume and os.path.exists(marker):
+            import json as _json
+
+            with open(marker) as f:
+                best_metric = _json.load(f)["mean_sum_reward"]
     if resume:
         # a restart loop passes --resume unconditionally; an empty
         # checkpoint dir means cold start, not an error
@@ -141,7 +187,7 @@ def train_experiment(cfg: ExperimentConfig, workdir: str = ".",
 
     while t < cfg.time_slots:
         n = min(chunk, cfg.time_slots - t)
-        carry, logs = run_chunk(carry, jnp.asarray(t), n)
+        carry, logs = run_chunk(carry, t, n)
         rewards.append(np.asarray(logs["sum_reward"]))
         actions.append(np.asarray(logs["actions"]))
         losses.append(np.asarray(logs["loss"]))
@@ -172,6 +218,17 @@ def train_experiment(cfg: ExperimentConfig, workdir: str = ".",
             t % cfg.save_freq == 0 or t >= cfg.time_slots
         ):
             ckpt.save(mgr, t, carry)
+            all_env_mean = float(rewards[-1].mean())
+            if mgr_best is not None and all_env_mean > best_metric:
+                best_metric = all_env_mean
+                ckpt.save(mgr_best, t, carry)
+                if primary:
+                    import json as _json
+
+                    with open(os.path.join(best_dir,
+                                           "best_metric.json"), "w") as f:
+                        _json.dump({"step": t,
+                                    "mean_sum_reward": best_metric}, f)
 
     if writer is not None:
         writer.close()

@@ -150,3 +150,51 @@ def test_learning_signal():
     late = sr[-800:].mean()
     assert late > early + 0.3, f"no learning signal: early={early:.2f} late={late:.2f}"
     assert late > 1.4, f"late-policy reward too low: {late:.2f} (optimal 2.0)"
+
+
+def test_sampler_shift_trick_exact():
+    """sample_windows_cross_env derives next_states from the states window
+    shifted one slot (one gather instead of two).  The ring-contiguity
+    invariant (next_states[k] == states[k+1]) must make that BIT-equal to
+    the direct next_states gather on a real training replay, and the
+    stacked actions/rewards gather must round-trip exactly."""
+    import jax.numpy as jnp
+    from diral_tpu.train.loop import (make_train_functions,
+                                      sample_windows_cross_env)
+
+    cfg = small_cfg()
+    cfg = dataclasses.replace(
+        cfg, engine=dataclasses.replace(cfg.engine, num_envs=3)
+    )
+    init_carry, slot_step, _ = make_train_functions(cfg)
+    carry = jax.jit(init_carry)(jax.random.PRNGKey(2))
+    carry, _ = jax.jit(lambda c: jax.lax.scan(slot_step, c, jnp.arange(60)))(
+        carry)
+    replay = carry.replay
+
+    step = cfg.agent.step_size
+    batch = 16
+    key = jax.random.PRNGKey(9)
+    got = jax.jit(lambda r, k: sample_windows_cross_env(r, k, batch, step))(
+        replay, key)
+
+    # reference computation: the original four direct gathers
+    B, S = replay.states.shape[0], replay.states.shape[1]
+    valid = replay.count[0] - step
+    k1, = jax.random.split(key, 1)
+    scores = jax.random.uniform(k1, (B * S,))
+    scores = jnp.where(jnp.arange(B * S) % S < valid, scores, jnp.inf)
+    _, flat = jax.lax.top_k(-scores, batch)
+    env_idx, start = flat // S, flat % S
+    oldest = (replay.ptr[0] - replay.count[0]) % S
+    idx = (oldest + start[:, None] + jnp.arange(step)[None, :]) % S
+    take = lambda arr: np.asarray(arr)[np.asarray(env_idx)[:, None],
+                                       np.asarray(idx)]
+    np.testing.assert_array_equal(np.asarray(got["states"]),
+                                  take(replay.states))
+    np.testing.assert_array_equal(np.asarray(got["next_states"]),
+                                  take(replay.next_states))
+    np.testing.assert_array_equal(np.asarray(got["actions"]),
+                                  take(replay.actions))
+    np.testing.assert_array_equal(np.asarray(got["rewards"]),
+                                  take(replay.rewards))

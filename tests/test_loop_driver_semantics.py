@@ -115,3 +115,63 @@ def test_slot0_keys_differ_from_init_keys():
     for a in np.asarray(slot0):
         for b in np.asarray(consumed):
             assert not np.array_equal(a, b)
+
+
+def test_episode_grain_bit_identical_to_slot_grain():
+    """The episode-grain dispatch (loop.episode_step via make_chunk_runner,
+    the TPU path that eliminates the per-slot lax.cond around the train
+    event) must be BIT-identical to per-slot dispatch: same logs, same
+    learner params, across both gate-false (t <= batch_size+10) and
+    gate-true episodes."""
+    from functools import partial
+    from diral_tpu.train.runner import make_chunk_runner
+
+    cfg = tiny(explore=0)
+    init_carry, slot_step, _ = make_train_functions(cfg)
+    assert slot_step.episode_step is not None
+    carry0 = jax.jit(init_carry)(jax.random.PRNGKey(3))
+    n = cfg.episode_interval * 4  # covers gate-false and gate-true episodes
+
+    @partial(jax.jit, static_argnames=("m",))
+    def run_slots(c, m: int):
+        return jax.lax.scan(slot_step, c, jnp.arange(m))
+
+    ref_carry, ref_logs = run_slots(carry0, n)
+
+    run_chunk, _ = make_chunk_runner(slot_step)
+    out_carry, out_logs = run_chunk(carry0, 0, n)
+
+    for k in ref_logs:
+        np.testing.assert_array_equal(np.asarray(out_logs[k]),
+                                      np.asarray(ref_logs[k]), err_msg=k)
+    for a, b in zip(jax.tree.leaves(out_carry), jax.tree.leaves(ref_carry)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_unaligned_chunk_falls_back_to_slot_grain():
+    """A chunk not aligned to episode_interval must still work (slot-grain
+    fallback) and produce identical results to an aligned pair of chunks."""
+    from diral_tpu.train.runner import make_chunk_runner
+
+    cfg = tiny(explore=0)
+    init_carry, slot_step, _ = make_train_functions(cfg)
+    run_chunk, _ = make_chunk_runner(slot_step)
+    I = cfg.episode_interval
+
+    # run_chunk donates its carry, so each dispatch chain inits afresh
+    # (identical key -> identical carry), like the production runner
+    def fresh():
+        return jax.jit(init_carry)(jax.random.PRNGKey(5))
+
+    # one aligned dispatch of 2 episodes
+    ca, logs_a = run_chunk(fresh(), 0, 2 * I)
+    # unaligned split: 30 + (2I - 30) slots (both slot-grain)
+    cb, logs_b1 = run_chunk(fresh(), 0, 30)
+    cb, logs_b2 = run_chunk(cb, 30, 2 * I - 30)
+
+    np.testing.assert_array_equal(
+        np.asarray(logs_a["sum_reward"]),
+        np.concatenate([np.asarray(logs_b1["sum_reward"]),
+                        np.asarray(logs_b2["sum_reward"])]))
+    for a, b in zip(jax.tree.leaves(ca), jax.tree.leaves(cb)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

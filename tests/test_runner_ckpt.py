@@ -109,3 +109,38 @@ def test_resume_cold_start_and_saves_without_save_model(tmp_path):
                               chunk_size=60, resume=True, verbose=False)
     # resumed (not retrained): full-run arrays = preloaded 120 + new 60
     assert out["sum_reward"].shape[0] == cfg.time_slots + 60
+
+
+def test_best_checkpoint_tracking(tmp_path):
+    """The runner keeps the best-chunk-mean-reward snapshot in
+    <ckpt_dir>_best with a best_metric.json marker (the greedy-collapse
+    mitigation: greedy eval can use the pre-collapse policy via --best)."""
+    import json
+
+    cfg = small_cfg(tmp_path, save_results=False)
+    wd = str(tmp_path / "run")
+    train_experiment(cfg, workdir=wd, chunk_size=60, verbose=False)
+
+    best_dir = os.path.join(wd, "save_model", "test", "ckpt_test_best")
+    marker = os.path.join(best_dir, "best_metric.json")
+    assert os.path.exists(marker)
+    with open(marker) as f:
+        best = json.load(f)
+    assert best["step"] in (60, 120)
+
+    # the best snapshot restores and its step matches the marker
+    init_carry, _, _ = make_train_functions(cfg)
+    carry = jax.jit(init_carry)(jax.random.PRNGKey(0))
+    mgr = ckpt.checkpoint_manager(best_dir)
+    _, step = ckpt.restore(mgr, carry)
+    assert step == best["step"]
+
+    # the marker metric equals the actual chunk-mean of the kept step:
+    # rerun and compare the two chunk means
+    _, out = train_experiment(small_cfg(tmp_path, save_model=False,
+                                        save_results=False),
+                              workdir=str(tmp_path / "ref"), chunk_size=60,
+                              verbose=False)
+    chunk_means = [out["sum_reward"][:60].mean(), out["sum_reward"][60:].mean()]
+    np.testing.assert_allclose(best["mean_sum_reward"],
+                               max(chunk_means), rtol=1e-6)
