@@ -22,8 +22,17 @@ from diral_tpu.envs import v2v_env as E
 
 BASELINE_STEPS_PER_SEC = 1.0e6
 NUM_ENVS = 8192
-CHUNK = 256          # env steps per scan invocation
-REPEATS = 5
+# Stall-proofing (round-3): one timed run must be >= ~1 s of DEVICE work so
+# the axon tunnel's per-dispatch latency (measured 10-90 ms, occasionally
+# 0.35-50 s) is amortized into the noise instead of dominating the number.
+# Round 2's CHUNK=256 gave ~75 ms of device work per run, so the capture
+# measured tunnel latency, not the engine: BENCH_r02 read 14.3M while the
+# same binary with >=1 s runs reads ~30M.  CHUNK=4096 -> ~1.1 s per run at
+# the expected ~30M env-steps/s.
+CHUNK = 4096         # env steps per scan invocation
+REPEATS = 5          # minimum timed runs; more are added while spread is high
+MAX_REPEATS = 10
+SPREAD_LIMIT = 3.0   # max/min beyond this after MAX_REPEATS = loud failure
 
 
 def log(*a):
@@ -78,8 +87,31 @@ def main():
     compile_s = time.perf_counter() - t
     log(f"compile+warmup: {compile_s:.1f}s")
 
+    # Per-dispatch tunnel latency probe: a near-empty jitted call + scalar
+    # host transfer.  This is the constant each timed run pays on top of
+    # its device work -- the quantity that ate BENCH_r02's 75 ms runs.
+    tiny = jax.jit(lambda x: x + 1.0)
+    float(tiny(jnp.float32(0.0)))  # compile
+    lats = []
+    for i in range(5):
+        t = time.perf_counter()
+        float(tiny(jnp.float32(i)))
+        lats.append(time.perf_counter() - t)
+    dispatch_ms = sorted(lats)[len(lats) // 2] * 1e3
+    log(f"per-dispatch tunnel latency (median of 5): {dispatch_ms:.1f} ms")
+
+    # settle run: the FIRST post-compile execution pays a deterministic
+    # ~1.5 s penalty (allocation/autotune; observed 1505-1509 ms across
+    # rounds on v5e) that is not steady-state throughput
+    t = time.perf_counter()
+    state, rsum, svs = rollout(state, jax.random.fold_in(key, 999), 0)
+    float(rsum), float(svs)
+    log(f"settle run (first post-compile execution): "
+        f"{(time.perf_counter() - t)*1e3:.0f} ms")
+
     rates = []
-    for r in range(REPEATS):
+    r = 0
+    while r < MAX_REPEATS:
         t = time.perf_counter()
         state, total, sv_sum = rollout(state, jax.random.fold_in(key, r),
                                        r * CHUNK)
@@ -89,7 +121,17 @@ def main():
         log(f"run {r}: {dt*1e3:.1f} ms -> {rate:,.0f} env-steps/s "
             f"(reward checksum {total:,.0f})")
         rates.append(rate)
+        r += 1
+        if r >= REPEATS and max(rates) / min(rates) <= 1.5:
+            break
+    spread = max(rates) / min(rates)
+    if spread > SPREAD_LIMIT:
+        log(f"BENCH SPREAD FAILURE: max/min = {spread:.2f}x over {r} runs "
+            f"of >=1 s device work each -- the tunnel (or the chip) is too "
+            f"unstable for this capture to be trusted")
     best = sorted(rates)[len(rates) // 2]  # median
+    log(f"headline: median {best:,.0f}, best {max(rates):,.0f}, "
+        f"spread {spread:.2f}x over {r} runs")
 
     train_rate = train_rate_bf16 = None
     try:
@@ -111,6 +153,12 @@ def main():
         # acquisition; real compile is seconds and is reported separately
         "device_init_s": round(device_init_s, 1),
         "compile_s": round(compile_s, 1),
+        # VERDICT r2 #1: stall-proofed capture -- each timed run is >= ~1 s
+        # of device work; min/spread and the per-dispatch tunnel latency
+        # make degraded captures self-diagnosing
+        "value_min": round(min(rates), 1),
+        "spread": round(spread, 3),
+        "dispatch_latency_ms": round(dispatch_ms, 1),
     }
     if train_rate is not None:
         out["train_slots_per_sec"] = round(train_rate, 1)
@@ -238,14 +286,15 @@ def bench_scale(num_envs: int = 2048, chunk: int = 32):
         f"env-steps/s ({rate * cfg.num_users:,.0f} agent-steps/s)")
 
 
-def bench_train_loop(num_envs: int = 256, chunk: int = 1000,
+def bench_train_loop(num_envs: int = 256, chunk: int = 5000,
                      compute_dtype: str = "float32"):
     """Full toy training slots/s (inference+env+replay+episodic train).
 
-    chunk matches the production runner's dispatch granularity
-    (train/runner.py uses min(save_freq, 5000) slots per device dispatch);
-    tiny chunks would measure per-dispatch tunnel latency (~0.35 s on the
-    axon TPU tunnel), not the training loop."""
+    chunk matches the production runner's maximum dispatch granularity
+    (train/runner.py uses min(save_freq, 5000) slots per device dispatch)
+    AND gives ~1 s of device work per timed run at the ~5k slots/s this
+    loop reaches -- tiny chunks would measure per-dispatch tunnel latency
+    (10-90 ms typical, 0.35-50 s stalls), not the training loop."""
     import dataclasses
     from diral_tpu.config import toy_4ue_3r
     from diral_tpu.train.loop import make_train_functions

@@ -283,6 +283,14 @@ class OracleEnv:
         obs = np.zeros((self.N, self.C))
         rews = np.zeros(self.N)
         piggy_obs = [np.zeros(self.C) for _ in range(self.N)] if st.piggybacking else None
+        # (user, channel) -> the C-wide payload the faithful path inserts
+        # (or would insert: the reference's prev_obs[None] crash case and
+        # the empty-channel case both log zeros).  The REPAIRED fixed-width
+        # observation (v2v_env.step_collision docstring) is derived from
+        # this log below, so it is built from exactly what the reference
+        # inserts, just placed at the zero-padded fixed layout the
+        # reference's own state_space sizing intends (test_env.py:71-79).
+        piggy_log: dict[tuple[int, int], np.ndarray] = {}
 
         if st.add_positional_dist_piggy:
             self.periodic_update()
@@ -355,14 +363,37 @@ class OracleEnv:
                                 piggy_obs[u][ch] = tx_dist
                                 if tmp is not None:
                                     piggy_obs[u] = np.insert(piggy_obs[u], ch, tmp)
+                                piggy_log[(u, ch)] = (
+                                    tmp.copy() if tmp is not None
+                                    else np.zeros(self.C)
+                                )
                     else:
                         if piggy_obs is not None:
                             piggy_obs[u] = np.insert(
                                 piggy_obs[u], ch, np.zeros(self.C)
                             )
+                            piggy_log[(u, ch)] = np.zeros(self.C)
 
         self.update_mobility(timestep)
         if piggy_obs is not None:
+            # Repaired fixed-width layout: base obs ++ (C-1) payload blocks
+            # in ascending channel order skipping the user's own tx channel
+            # (v2v_env.step_collision docstring).  Built BEFORE prev_obs
+            # updates, from the faithful path's logged payloads.
+            fixed = np.zeros((self.N, self.C * self.C))
+            if st.type == 2:
+                fixed[:, : self.C] = obs
+            for u in range(self.N):
+                k = 0
+                for ch in range(self.C):
+                    if ch == int(actions[u]):
+                        continue
+                    blk = piggy_log.get((u, ch))
+                    if blk is not None:
+                        lo = self.C + k * self.C
+                        fixed[u, lo : lo + self.C] = blk
+                    k += 1
+            self.piggy_fixed = fixed
             self.prev_obs = obs.copy()
         return obs, piggy_obs, rews
 

@@ -31,9 +31,14 @@ table is both source and destination in the same channel).
 
 Known deviations (out of the toy/BASELINE domain, documented):
 
-* ``piggybacking=True``'s growing ``np.insert`` observation
-  (test_env.py:241-254) is data-dependent-shape and cannot be jitted; the
-  NumPy oracle implements it, the JAX engine raises.
+* ``piggybacking=True`` observations are served in the REPAIRED fixed
+  width the reference's own ``state_space`` sizing declares
+  (``C + C*(C-1)``, test_env.py:71-79) rather than the faithful growing
+  ``np.insert`` layout (test_env.py:241-254), which is data-dependent
+  shape, crashes on ``prev_obs[None]`` when no transmitter is in range,
+  and disagrees with that sizing.  See ``step_collision`` for the layout;
+  the NumPy oracle carries both the faithful path and the repaired one
+  (derived from the faithful path's logged insert payloads).
 * ``state_type == 1`` with no in-range transmitter would crash the
   reference (test_env.py:230-232 indexes ``vehicles[None]``); here the
   merge is skipped.
@@ -332,31 +337,46 @@ def _channel_loop(c: int, body, carry):
 def step_collision(cfg: EnvConfig, state: EnvState, actions, t, trace=None):
     """``my_step`` semantics (test_env.py:124-266): per-channel collision
     rewards shared among colliders, half-duplex observations, piggyback
-    merges from the closest transmitter, then mobility."""
+    merges from the closest transmitter, then mobility.
+
+    ``piggybacking=True`` (test_env.py:241-254) is served in REPAIRED
+    fixed width.  The faithful path grows each user's obs with
+    ``np.insert(piggy_obs[user], ch, prev_obs[tx_id])`` per received
+    channel: data-dependent shape, a ``prev_obs[None]`` crash when no
+    transmitter is in range, and widths that disagree with the
+    reference's own ``state_space`` sizing of ``C + C*(C-1)``
+    (test_env.py:71-79, whose comment says the intent was zero padding).
+    Here the intended fixed layout is produced directly::
+
+        [ base obs (C) | block_0 (C) | ... | block_{C-2} (C) ]
+
+    base = the regular channel obs row (tx_dist per received channel --
+    exactly the values the faithful path writes at ``piggy_obs[u][ch]``);
+    block_k = the payload for the k-th channel in ascending order
+    skipping the user's own tx channel: ``prev_obs[closest_tx]`` when the
+    channel carried an in-range transmission (state_type 2), zeros when
+    the channel was empty or no transmitter was in range (the reference's
+    crash case, repaired as zero padding).  ``prev_obs`` is last slot's
+    obs matrix (test_env.py:262: ``self.prev_obs = obs`` post-loop).
+    The NumPy oracle derives the same layout from the faithful path's
+    logged insert payloads (oracle.piggy_fixed); golden tests assert
+    bit-equality."""
     st = cfg.state
-    if st.piggybacking:
-        raise NotImplementedError(
-            "piggybacking=True is a formal wontfix for the JAX engine: the "
-            "reference grows each user's obs via np.insert per received "
-            "channel (test_env.py:241-254), a data-dependent shape XLA "
-            "cannot trace -- and the reference path itself crashes on "
-            "prev_obs[None] when no transmitter is in range and produces "
-            "widths that disagree with its own state_space sizing "
-            "(PARITY.md deviation 3); supported by the NumPy oracle only"
-        )
     n, c = cfg.num_users, cfg.num_channels
     dtype = state.pos_x.dtype
     acts = jax.nn.one_hot(actions, c, dtype=jnp.int32)  # [N, C]
+    piggy = st.piggybacking
 
     if st.add_positional_dist_piggy:
         state = _periodic_update(state)
+    prev_obs_in = state.prev_obs.astype(dtype)  # pre-step snapshot
 
     D = pairwise_distances(state.pos_x, state.pos_y)
     norm_d = _norm_distance(state.pos_x, D)
     tx_counts = acts.sum(axis=0)  # [C]
 
     def body(carry, ch):
-        state, la, pf, rews, obs = carry
+        state, la, pf, rews, obs, blocks = carry
         txm = acts[:, ch] == 1
         tot = tx_counts[ch]
         transmission = tot > 0
@@ -386,15 +406,30 @@ def step_collision(cfg: EnvConfig, state: EnvState, actions, t, trace=None):
 
         if st.add_positional_dist_piggy:
             state = _merge_tables(state, invoked & has, cid)
-        return state, la, pf, rews, obs
+        if piggy and st.type == 2:
+            payload = _gather_rows(prev_obs_in, cid)  # [N, C]
+            blocks = blocks.at[:, ch].set(
+                jnp.where((invoked & has)[:, None], payload, 0))
+        return state, la, pf, rews, obs, blocks
 
+    blocks0 = jnp.zeros((n, c, c), dtype) if piggy else jnp.zeros((0,), dtype)
     carry = (state, state.last_arrival, state.pf_counter,
-             jnp.zeros((n,), dtype), jnp.zeros((n, c), dtype))
-    state, la, pf, rews, obs = _channel_loop(c, body, carry)
+             jnp.zeros((n,), dtype), jnp.zeros((n, c), dtype), blocks0)
+    state, la, pf, rews, obs, blocks = _channel_loop(c, body, carry)
 
     state = state.replace(last_arrival=la, pf_counter=pf)
+    if piggy:
+        base = obs if st.type == 2 else jnp.zeros_like(obs)
+        # compact [N, C, C] -> [N, C-1, C]: drop each user's own tx block
+        k = jnp.arange(c - 1)[None, :]
+        src = k + (k >= actions[:, None]).astype(k.dtype)  # [N, C-1]
+        picked = jnp.take_along_axis(blocks, src[:, :, None], axis=1)
+        obs_out = jnp.concatenate([base, picked.reshape(n, (c - 1) * c)], axis=1)
+        state = state.replace(prev_obs=obs.astype(state.prev_obs.dtype))
+    else:
+        obs_out = obs
     state = _advance_mobility(cfg, state, t, trace)
-    return state, obs, rews
+    return state, obs_out, rews
 
 
 def step_design(cfg: EnvConfig, state: EnvState, actions, t, trace=None):
@@ -652,7 +687,18 @@ def obtain_state(cfg: EnvConfig, state: EnvState, obs, actions, rewards,
         else:
             raise ValueError("bad action_index")
     if st.add_channel_obs:
-        parts.append(obs.astype(dtype))
+        ob = obs.astype(dtype)
+        if st.piggybacking:
+            # The piggy obs rides the channel-obs slot at the sizing's full
+            # C + C*(C-1) width (test_env.py:71-79,547).  Step flavors
+            # without a piggyback path (my_step_design / my_step_ch, used
+            # by the driver's pretrain phase, main_test.py:101-107) emit
+            # plain [N, C] rows; zero-pad them to the fixed width (the
+            # reference would feed the net a ragged state and crash).
+            want = cfg.num_channels * cfg.num_channels
+            if ob.shape[1] < want:
+                ob = jnp.pad(ob, ((0, 0), (0, want - ob.shape[1])))
+        parts.append(ob)
     if st.add_positional_dist:
         parts.append(positional_dist_exact(cfg, state))
     if st.add_positional_dist_piggy:

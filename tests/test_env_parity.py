@@ -261,6 +261,78 @@ def test_state_generator_parity_state_type_1():
                                       err_msg=f"state_generator at t={t}")
 
 
+def _piggy_rollout(cfg, steps, seed):
+    """Engine [N, C*C] piggy obs vs the oracle's repaired layout, bit-exact;
+    the oracle layout is derived from the faithful path's logged np.insert
+    payloads (oracle.my_step), which are themselves golden-tested against
+    the real reference env (tests/test_reference_parity.py)."""
+    n, c = cfg.num_users, cfg.num_channels
+    o = make_oracle(cfg, seed)
+    s = jax_state_from_oracle(cfg, o)
+    jit_step = jax.jit(jenv.step_collision, static_argnums=0)
+    jit_obtain = jax.jit(jenv.obtain_state, static_argnums=(0, 5, 6))
+    rng = np.random.RandomState(seed + 7)
+    for t in range(steps):
+        actions = rng.randint(0, c, size=n)
+        obs_o, piggy_o, rew_o = o.my_step(actions, t)
+        s, obs_j, rew_j = jit_step(cfg, s, jnp.asarray(actions), t)
+        assert obs_j.shape == (n, c * c)
+        np.testing.assert_array_equal(np.asarray(obs_j), o.piggy_fixed,
+                                      err_msg=f"piggy fixed obs t={t}")
+        np.testing.assert_array_equal(np.asarray(rew_j), rew_o)
+        np.testing.assert_array_equal(np.asarray(s.prev_obs), o.prev_obs)
+        np.testing.assert_array_equal(np.asarray(s.table_seq), o.table_seq)
+        # the fixed obs feeds obtain_state at exactly the sizing's width
+        st_j = jit_obtain(cfg, s, obs_j, jnp.asarray(actions),
+                          jnp.asarray(rew_o), 0, 1.0)
+        st_o = o.obtain_state(o.piggy_fixed, actions, rew_o)
+        np.testing.assert_array_equal(np.asarray(st_j), np.asarray(st_o))
+        assert np.asarray(st_j).shape == (n, cfg.state_space)
+
+
+def test_piggybacking_fixed_width():
+    """Repaired fixed-width piggybacking (VERDICT r2 #2): width matches the
+    reference's own state_space sizing C + C*(C-1) (test_env.py:71-79)."""
+    base = toy_4ue_3r().env
+    cfg = dataclasses.replace(
+        base, state=dataclasses.replace(
+            base.state, piggybacking=True, add_channel_obs=True))
+    assert cfg.state_space == 3 + 3 + 3 * 2 + 20
+    _piggy_rollout(cfg, steps=80, seed=23)
+
+
+def test_piggybacking_no_inrange_tx_zero_pads():
+    """Tiny communication range: find_closest_tx returns (1e5, None) -- the
+    reference path crashes on prev_obs[None] (test_env.py:241-243); the
+    repair zero-pads that block.  Base slots still carry the 1e5 sentinel
+    distance like the plain obs does."""
+    base = toy_4ue_3r().env
+    cfg = dataclasses.replace(
+        base, communication_range=2.0, highway_length=1000,
+        state=dataclasses.replace(
+            base.state, piggybacking=True, add_channel_obs=True))
+    _piggy_rollout(cfg, steps=60, seed=29)
+
+
+def test_piggybacking_state_type_1():
+    """Under state_type 1 the faithful path never inserts payloads (only the
+    empty-channel zeros), so the repaired obs is all-zero padding."""
+    base = toy_4ue_3r().env
+    cfg = dataclasses.replace(
+        base, state=dataclasses.replace(
+            base.state, piggybacking=True, add_channel_obs=True, type=1))
+    _piggy_rollout(cfg, steps=40, seed=31)
+
+
+def test_piggybacking_more_channels():
+    cfg = dataclasses.replace(
+        toy_4ue_3r().env, num_users=6, num_channels=5, highway_length=300,
+        state=dataclasses.replace(
+            toy_4ue_3r().env.state, piggybacking=True, add_channel_obs=True))
+    assert cfg.state_space == 5 + 5 + 5 * 4 + 20
+    _piggy_rollout(cfg, steps=60, seed=37)
+
+
 def test_sample_uniform():
     cfg = toy_4ue_3r().env
     acts = jenv.sample_actions(cfg, jax.random.PRNGKey(0))

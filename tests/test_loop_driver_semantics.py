@@ -175,3 +175,28 @@ def test_unaligned_chunk_falls_back_to_slot_grain():
                         np.asarray(logs_b2["sum_reward"])]))
     for a, b in zip(jax.tree.leaves(ca), jax.tree.leaves(cb)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_piggybacking_trains_end_to_end():
+    """State.piggybacking=True (repaired fixed-width obs, VERDICT r2 #2)
+    through the FULL loop: warmup (my_step, piggy width C*C), pretrain
+    (my_step_design, plain [N, C] obs zero-padded by obtain_state), and
+    the training slots with episodic train events."""
+    cfg = tiny(time_slots=60)
+    cfg = dataclasses.replace(
+        cfg, env=dataclasses.replace(
+            cfg.env, state=dataclasses.replace(
+                cfg.env.state, piggybacking=True, add_channel_obs=True)))
+    assert cfg.env.state_space == 3 + 3 * 3 + 20
+    init_carry, slot_step, run = make_train_functions(cfg)
+    carry, logs = run(jax.random.PRNGKey(0), 60)
+    assert carry.state.shape == (cfg.engine.num_envs, cfg.env.num_users,
+                                 cfg.env.state_space)
+    loss = np.asarray(logs["loss"])
+    assert np.isfinite(loss).all()
+    assert (loss != 0).any()  # the episodic train event actually fired
+    # piggy payload blocks are genuinely live: some non-base column of the
+    # assembled state is nonzero (prev_obs payloads reached the net input)
+    st = np.asarray(carry.state)
+    piggy_block_cols = st[:, :, 3 + cfg.env.num_channels:3 + 9]
+    assert np.abs(piggy_block_cols).sum() > 0

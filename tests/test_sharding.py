@@ -79,6 +79,60 @@ def test_model_parallel_mesh():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 fake devices")
+def test_episode_grain_dp_tp_matches_single_device():
+    """VERDICT r2 #4: the production episode-grain dispatch
+    (loop.episode_step -- one unconditional train event per episode) under
+    a data=4,model=2 mesh must agree numerically with the identical
+    episode_step calls on a single placement.  Covers the TP axis with an
+    equality check (test_model_parallel_mesh only asserts finiteness) and
+    the episode grain (test_sharded_train_step_matches_single_device only
+    covers slot grain, DP-only)."""
+    cfg = tiny_cfg(num_envs=8)
+    init_carry, slot_step, _ = make_train_functions(cfg, jnp.float32)
+    episode_step = slot_step.episode_step
+    assert episode_step is not None
+    carry0 = jax.jit(init_carry)(jax.random.PRNGKey(0))
+
+    # single-placement reference: two episodes (the second one trains:
+    # its last slot t=49 passes the t > batch_size + 10 gate)
+    ref = jax.jit(episode_step)
+    ref_carry, ref_logs0 = ref(carry0, jnp.asarray(0))
+    ref_carry, ref_logs1 = ref(ref_carry, jnp.asarray(1))
+    jax.block_until_ready(ref_carry)
+
+    mesh = make_mesh(8, model_parallel=2)
+    with mesh:
+        sharded = shard_carry(carry0, mesh)
+        # params really live on the model axis
+        assert "model" in str(sharded.learner.params["lstm"]["w"].sharding.spec)
+        sh = carry_shardings(carry0, mesh)
+        step = jax.jit(episode_step, in_shardings=(sh, None),
+                       out_shardings=(sh, None))
+        out_carry, out_logs0 = step(sharded, jnp.asarray(0))
+        out_carry, out_logs1 = step(out_carry, jnp.asarray(1))
+        jax.block_until_ready(out_carry)
+
+    for out_logs, ref_logs in ((out_logs0, ref_logs0), (out_logs1, ref_logs1)):
+        # env-path quantities are per-shard elementwise: tight
+        np.testing.assert_allclose(np.asarray(out_logs["sum_reward"]),
+                                   np.asarray(ref_logs["sum_reward"]),
+                                   rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(out_logs["actions"]),
+                                      np.asarray(ref_logs["actions"]))
+    # train event fired in episode 1 (nonzero loss at the episode-end slot)
+    assert np.asarray(ref_logs1["loss"])[-1] != 0
+    np.testing.assert_allclose(np.asarray(out_logs1["loss"]),
+                               np.asarray(ref_logs1["loss"]),
+                               rtol=2e-5, atol=2e-6)
+    # post-train learner params: TP matmul + gradient psum reorder float
+    # reductions -> tiered tolerance (same as the DP-only test above)
+    for a, b in zip(jax.tree.leaves(out_carry.learner.params),
+                    jax.tree.leaves(ref_carry.learner.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 fake devices")
 def test_train_experiment_mesh_production_path(tmp_path):
     """VERDICT r1 #2: multi-device as a *production* path.  ``train
     --mesh data=8`` (train_experiment(mesh=...)) must reproduce the
