@@ -14,7 +14,7 @@ from collections import defaultdict
 import numpy as np
 
 from diral_tpu.interop import ma_messages_pb2 as pb
-from diral_tpu.interop.transport import RepSocket, ReqSocket
+from diral_tpu.interop.transport import make_rep_socket, make_req_socket
 
 REWARD_COLLECTOR_PORT = 5557  # realness_bridge.py:68
 
@@ -22,15 +22,19 @@ REWARD_COLLECTOR_PORT = 5557  # realness_bridge.py:68
 class RealNeSBridge:
     def __init__(self, port: int = 5555, reward_port: int | None = None,
                  reward_host: str = "localhost", timeout: float | None = 30.0,
-                 disable_one_user: bool = True):
+                 disable_one_user: bool = True, transport: str = "framed"):
         self.port = int(port)
         self.timeout = timeout
         self.reward_host = reward_host
         self.reward_port = reward_port  # None: connect lazily on first use
-        self.socket = RepSocket(self.port, timeout=timeout)
+        # transport flavor: "framed" (length-prefixed TCP) or "zmq" (real
+        # libzmq REP/REQ, the reference's wire) -- see interop/transport.py
+        self.transport = transport
+        self.socket = make_rep_socket(self.port, kind=transport,
+                                      timeout=timeout)
         if self.port == 0:
             self.port = self.socket.port
-        self.socket_rewards: ReqSocket | None = None
+        self.socket_rewards = None
         # Reference quirk: one user is disabled on the simulator side, so the
         # agent-visible population is total_users - 1 (realness_bridge.py:88).
         self.disable_one_user = disable_one_user
@@ -58,7 +62,8 @@ class RealNeSBridge:
         if self.socket_rewards is not None:
             self.socket_rewards.close()
             self.socket_rewards = None
-        self.socket = RepSocket(self.port, timeout=self.timeout)
+        self.socket = make_rep_socket(self.port, kind=self.transport,
+                                      timeout=self.timeout)
 
     def restart_env(self):
         """Answer the next scheduling request with a stop grant
@@ -118,9 +123,9 @@ class RealNeSBridge:
     def receive_rewards(self):
         """Poll the reward collector (realness_bridge.py:210-223)."""
         if self.socket_rewards is None:
-            self.socket_rewards = ReqSocket(
+            self.socket_rewards = make_req_socket(
                 self.reward_host, self.reward_port or REWARD_COLLECTOR_PORT,
-                timeout=self.timeout,
+                kind=self.transport, timeout=self.timeout,
             )
         self.socket_rewards.send(b"Send my rewards")
         return pb.MA_RewardSentAll.FromString(self.socket_rewards.recv())

@@ -31,12 +31,18 @@
 // An optional reward-collector endpoint serves MA_RewardSentAll on a second
 // port (REP role), mirroring the reference's :5557 collector.
 //
-// Framing: 4-byte big-endian length + protobuf payload (the repo's
-// transport.py framing; a libzmq build only needs the framing swapped).
+// Transports (optional last CLI arg, default "framed"):
+//   framed  4-byte big-endian length + protobuf payload (transport.py's
+//           framed flavor)
+//   zmq     real libzmq REQ/REP (the reference's actual wire,
+//           realness_bridge.py:25-43), loaded at runtime via dlopen of
+//           libzmq.so.5 -- the image ships the library but no dev headers,
+//           so the stable zmq C ABI is declared locally below.
 //
-// Build: see Makefile (protoc --cpp_out + g++ -lprotobuf).
+// Build: see Makefile (protoc --cpp_out + g++ -lprotobuf -ldl).
 
 #include <arpa/inet.h>
+#include <dlfcn.h>
 #include <netdb.h>
 #include <sys/socket.h>
 #include <unistd.h>
@@ -47,6 +53,7 @@
 #include <cstdint>
 #include <cstring>
 #include <iostream>
+#include <memory>
 #include <random>
 #include <string>
 #include <thread>
@@ -113,6 +120,127 @@ int connect_to(const std::string& host, int port) {
   }
   return -1;
 }
+
+// ---------------------------------------------------------------------
+// transport seam: the requesting (sim) side sends one protobuf payload
+// and receives one reply, strictly alternating -- REQ semantics in both
+// flavors.  The reward collector is the replying (REP) side.
+// ---------------------------------------------------------------------
+
+struct Transport {
+  virtual bool send(const std::string& payload) = 0;
+  virtual bool recv(std::string* out) = 0;
+  virtual ~Transport() = default;
+};
+
+struct FramedTcpReq : Transport {
+  int fd;
+  explicit FramedTcpReq(int fd_) : fd(fd_) {}
+  bool send(const std::string& p) override { return send_frame(fd, p); }
+  bool recv(std::string* out) override { return recv_frame(fd, out); }
+  ~FramedTcpReq() override { ::close(fd); }
+};
+
+// Minimal libzmq ABI, resolved at runtime (dlopen libzmq.so.5 / .so).
+// Constants and signatures per the public, ABI-stable zmq.h.
+struct ZmqLib {
+  static constexpr int REQ = 3, REP = 4, LINGER = 17, RCVTIMEO = 27,
+                       SNDTIMEO = 28;
+  struct Msg { unsigned char opaque[64]; };  // zmq_msg_t
+
+  void* (*ctx_new)();
+  int (*ctx_term)(void*);
+  void* (*socket)(void*, int);
+  int (*close_)(void*);
+  int (*bind)(void*, const char*);
+  int (*connect)(void*, const char*);
+  int (*setsockopt)(void*, int, const void*, size_t);
+  int (*send)(void*, const void*, size_t, int);
+  int (*msg_init)(Msg*);
+  int (*msg_recv)(Msg*, void*, int);
+  void* (*msg_data)(Msg*);
+  size_t (*msg_size)(Msg*);
+  int (*msg_close)(Msg*);
+
+  static ZmqLib* get() {
+    static ZmqLib* lib = [] {
+      void* h = dlopen("libzmq.so.5", RTLD_NOW | RTLD_GLOBAL);
+      if (!h) h = dlopen("libzmq.so", RTLD_NOW | RTLD_GLOBAL);
+      if (!h) return static_cast<ZmqLib*>(nullptr);
+      auto* z = new ZmqLib();
+      auto sym = [&](const char* n) { return dlsym(h, n); };
+      z->ctx_new = reinterpret_cast<void* (*)()>(sym("zmq_ctx_new"));
+      z->ctx_term = reinterpret_cast<int (*)(void*)>(sym("zmq_ctx_term"));
+      z->socket = reinterpret_cast<void* (*)(void*, int)>(sym("zmq_socket"));
+      z->close_ = reinterpret_cast<int (*)(void*)>(sym("zmq_close"));
+      z->bind = reinterpret_cast<int (*)(void*, const char*)>(sym("zmq_bind"));
+      z->connect =
+          reinterpret_cast<int (*)(void*, const char*)>(sym("zmq_connect"));
+      z->setsockopt = reinterpret_cast<int (*)(void*, int, const void*,
+                                               size_t)>(sym("zmq_setsockopt"));
+      z->send = reinterpret_cast<int (*)(void*, const void*, size_t, int)>(
+          sym("zmq_send"));
+      z->msg_init = reinterpret_cast<int (*)(Msg*)>(sym("zmq_msg_init"));
+      z->msg_recv =
+          reinterpret_cast<int (*)(Msg*, void*, int)>(sym("zmq_msg_recv"));
+      z->msg_data = reinterpret_cast<void* (*)(Msg*)>(sym("zmq_msg_data"));
+      z->msg_size = reinterpret_cast<size_t (*)(Msg*)>(sym("zmq_msg_size"));
+      z->msg_close = reinterpret_cast<int (*)(Msg*)>(sym("zmq_msg_close"));
+      if (!z->ctx_new || !z->socket || !z->send || !z->msg_recv) {
+        delete z;
+        return static_cast<ZmqLib*>(nullptr);
+      }
+      return z;
+    }();
+    return lib;
+  }
+
+  void* make_socket(int type, int timeout_ms) {
+    static void* ctx = ctx_new();
+    void* s = socket(ctx, type);
+    int zero = 0;
+    setsockopt(s, LINGER, &zero, sizeof(zero));
+    if (timeout_ms > 0) {
+      setsockopt(s, RCVTIMEO, &timeout_ms, sizeof(timeout_ms));
+      setsockopt(s, SNDTIMEO, &timeout_ms, sizeof(timeout_ms));
+    }
+    return s;
+  }
+
+  bool recv_string(void* s, std::string* out) {
+    Msg m;
+    msg_init(&m);
+    int n = msg_recv(&m, s, 0);
+    if (n < 0) {
+      msg_close(&m);
+      return false;
+    }
+    out->assign(static_cast<char*>(msg_data(&m)), msg_size(&m));
+    msg_close(&m);
+    return true;
+  }
+};
+
+struct ZmqReq : Transport {
+  ZmqLib* z;
+  void* sock;
+  ZmqReq(const std::string& host, int port, int timeout_ms = 30000) {
+    z = ZmqLib::get();
+    sock = z ? z->make_socket(ZmqLib::REQ, timeout_ms) : nullptr;
+    if (sock) {
+      std::string ep = "tcp://" + host + ":" + std::to_string(port);
+      z->connect(sock, ep.c_str());
+    }
+  }
+  bool ok() const { return sock != nullptr; }
+  bool send(const std::string& p) override {
+    return z->send(sock, p.data(), p.size(), 0) >= 0;
+  }
+  bool recv(std::string* out) override { return z->recv_string(sock, out); }
+  ~ZmqReq() override {
+    if (sock) z->close_(sock);
+  }
+};
 
 // ---------------------------------------------------------------------
 // world model (matches the Python oracle's toy rules)
@@ -252,7 +380,43 @@ struct World {
   }
 };
 
-// reward collector endpoint (REP role on reward_port)
+MA_RewardSentAll collect_rewards(World* world) {
+  MA_RewardSentAll all;
+  std::lock_guard<std::mutex> lock(world->reward_mu);
+  for (int u = 0; u < world->n; ++u) {
+    MA_RewardSent* r = all.add_all_rewards();
+    r->set_user_id(u);
+    r->set_sn(0);
+    r->set_reward(world->reward[u]);
+  }
+  return all;
+}
+
+// reward collector endpoint (REP role on reward_port), zmq flavor: a
+// short recv timeout lets the loop poll the stop flag
+void reward_collector_zmq(int port, World* world, std::atomic<bool>* stop) {
+  ZmqLib* z = ZmqLib::get();
+  if (!z) {
+    std::cerr << "reward collector: libzmq unavailable\n";
+    return;
+  }
+  void* s = z->make_socket(ZmqLib::REP, /*timeout_ms=*/200);
+  std::string ep = "tcp://*:" + std::to_string(port);
+  if (z->bind(s, ep.c_str()) != 0) {
+    std::cerr << "reward collector: zmq bind failed on " << port << "\n";
+    z->close_(s);
+    return;
+  }
+  std::string req;
+  while (!stop->load()) {
+    if (!z->recv_string(s, &req)) continue;  // timeout: re-check stop
+    std::string payload = collect_rewards(world).SerializeAsString();
+    z->send(s, payload.data(), payload.size(), 0);
+  }
+  z->close_(s);
+}
+
+// reward collector endpoint (REP role on reward_port), framed-TCP flavor
 void reward_collector(int port, World* world, std::atomic<bool>* stop) {
   int lfd = socket(AF_INET, SOCK_STREAM, 0);
   int one = 1;
@@ -272,17 +436,7 @@ void reward_collector(int port, World* world, std::atomic<bool>* stop) {
     if (fd < 0) break;
     std::string req;
     while (recv_frame(fd, &req)) {
-      MA_RewardSentAll all;
-      {
-        std::lock_guard<std::mutex> lock(world->reward_mu);
-        for (int u = 0; u < world->n; ++u) {
-          MA_RewardSent* r = all.add_all_rewards();
-          r->set_user_id(u);
-          r->set_sn(0);
-          r->set_reward(world->reward[u]);
-        }
-      }
-      if (!send_frame(fd, all.SerializeAsString())) break;
+      if (!send_frame(fd, collect_rewards(world).SerializeAsString())) break;
     }
     close(fd);
   }
@@ -294,7 +448,8 @@ void reward_collector(int port, World* world, std::atomic<bool>* stop) {
 int main(int argc, char** argv) {
   if (argc < 6) {
     std::cerr << "usage: realnes_sim <host> <port> <num_users> <num_channels>"
-                 " <rounds> [seed] [reward_port] [mode: dist|syn|sps]\n";
+                 " <rounds> [seed] [reward_port] [mode: dist|syn|sps]"
+                 " [transport: framed|zmq]\n";
     return 2;
   }
   std::string host = argv[1];
@@ -305,8 +460,13 @@ int main(int argc, char** argv) {
   uint32_t seed = argc > 6 ? static_cast<uint32_t>(std::strtoul(argv[6], nullptr, 10)) : 0u;
   int reward_port = argc > 7 ? std::atoi(argv[7]) : 0;
   std::string mode = argc > 8 ? argv[8] : "dist";
+  std::string transport = argc > 9 ? argv[9] : "framed";
   if (mode != "dist" && mode != "syn" && mode != "sps") {
     std::cerr << "unknown mode " << mode << "\n";
+    return 2;
+  }
+  if (transport != "framed" && transport != "zmq") {
+    std::cerr << "unknown transport " << transport << "\n";
     return 2;
   }
 
@@ -315,12 +475,26 @@ int main(int argc, char** argv) {
   std::atomic<bool> stop{false};
   std::thread collector;
   if (reward_port > 0)
-    collector = std::thread(reward_collector, reward_port, &world, &stop);
+    collector = std::thread(
+        transport == "zmq" ? reward_collector_zmq : reward_collector,
+        reward_port, &world, &stop);
 
-  int fd = connect_to(host, port);
-  if (fd < 0) {
-    std::cerr << "cannot connect to agent at " << host << ":" << port << "\n";
-    return 1;
+  std::unique_ptr<Transport> t;
+  if (transport == "zmq") {
+    auto zreq = std::make_unique<ZmqReq>(host, port);
+    if (!zreq->ok()) {
+      std::cerr << "libzmq unavailable (dlopen failed)\n";
+      return 1;
+    }
+    t = std::move(zreq);
+  } else {
+    int fd = connect_to(host, port);
+    if (fd < 0) {
+      std::cerr << "cannot connect to agent at " << host << ":" << port
+                << "\n";
+      return 1;
+    }
+    t = std::make_unique<FramedTcpReq>(fd);
   }
 
   // init handshake: the agent subtracts one disabled user
@@ -332,9 +506,9 @@ int main(int argc, char** argv) {
     // dist: neighbor-table entries per request; syn/sps: per-channel RSSI
     init.set_state_space(mode == "dist" ? n : c);
     init.set_state_space_type(2);  // RSSI-flavored (realness_env.py:335)
-    if (!send_frame(fd, init.SerializeAsString())) return 1;
+    if (!t->send(init.SerializeAsString())) return 1;
     std::string ack_raw;
-    if (!recv_frame(fd, &ack_raw)) return 1;
+    if (!t->recv(&ack_raw)) return 1;
     MA_SimInitAck ack;
     ack.ParseFromString(ack_raw);
   }
@@ -378,9 +552,9 @@ int main(int argc, char** argv) {
         for (double v : world.sense_rssi(u, actions)) req.add_state(v);
         payload = req.SerializeAsString();
       }
-      if (!send_frame(fd, payload)) { stopped = true; break; }
+      if (!t->send(payload)) { stopped = true; break; }
       std::string grant_raw;
-      if (!recv_frame(fd, &grant_raw)) { stopped = true; break; }
+      if (!t->recv(&grant_raw)) { stopped = true; break; }
       MA_SchedulingGrant grant;
       grant.ParseFromString(grant_raw);
       if (grant.stop_simulation()) { stopped = true; break; }
@@ -389,12 +563,15 @@ int main(int argc, char** argv) {
     if (!stopped) world.step(actions);
   }
 
-  close(fd);
+  t.reset();
   stop.store(true);
   if (collector.joinable()) {
-    // poke the collector loop out of accept()
-    int poke = connect_to("127.0.0.1", reward_port);
-    if (poke >= 0) close(poke);
+    if (transport != "zmq") {
+      // poke the framed collector loop out of accept(); the zmq loop
+      // polls the stop flag on its recv timeout
+      int poke = connect_to("127.0.0.1", reward_port);
+      if (poke >= 0) close(poke);
+    }
     collector.join();
   }
   std::cerr << "realnes_sim: finished\n";

@@ -160,11 +160,15 @@ class GatewayEnv:
         # request flavor the simulator emits: dist | syn | sps (see
         # cpp/realnes_sim.cc mode table)
         self.sim_mode = kwargs.setdefault("sim_mode", "dist")
+        # wire transport: framed (length-prefixed TCP) or zmq (real libzmq,
+        # the reference's transport) -- both sides must agree
+        self.sim_transport = kwargs.setdefault("sim_transport", "framed")
 
         self.bridge = RealNeSBridge(
             self.port,
             reward_port=self.sim_reward_port or None,
             reward_host="127.0.0.1",
+            transport=self.sim_transport,
         )
         if self.port == 0:
             self.port = self.bridge.port
@@ -187,10 +191,13 @@ class GatewayEnv:
         argv = [binary, "127.0.0.1", str(self.port), str(self.sim_users),
                 str(self.sim_channels), str(self.sim_rounds),
                 str(self.sim_seed)]
-        if self.sim_reward_port or self.sim_mode != "dist":
+        nondefault_tail = self.sim_transport != "framed"
+        if self.sim_reward_port or self.sim_mode != "dist" or nondefault_tail:
             argv.append(str(self.sim_reward_port))
-        if self.sim_mode != "dist":
+        if self.sim_mode != "dist" or nondefault_tail:
             argv.append(self.sim_mode)
+        if nondefault_tail:
+            argv.append(self.sim_transport)
         self.sim_process = subprocess.Popen(
             argv, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
         )

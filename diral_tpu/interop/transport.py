@@ -1,10 +1,19 @@
-"""REQ/REP-pattern framed TCP transport.
+"""REQ/REP-pattern transports behind one seam.
 
-Mirrors the ZMQ socket roles the reference uses (REP bind for scheduling,
-realness_bridge.py:26-43; REQ connect for reward collection,
-realness_bridge.py:66-68) over plain TCP with 4-byte big-endian length
-framing.  The strict recv/send (REP) and send/recv (REQ) alternation is
-enforced, like ZMQ would.
+Two interchangeable flavors of the socket roles the reference uses (REP
+bind for scheduling, realness_bridge.py:26-43; REQ connect for reward
+collection, realness_bridge.py:66-68):
+
+* ``framed`` -- plain TCP with 4-byte big-endian length framing, strict
+  recv/send (REP) and send/recv (REQ) alternation enforced like ZMQ would
+  (``RepSocket`` / ``ReqSocket``);
+* ``zmq`` -- real libzmq REP/REQ sockets via pyzmq, byte-compatible with
+  the reference's ``zmq.Context().socket(zmq.REP)`` peer
+  (``ZmqRepSocket`` / ``ZmqReqSocket``).
+
+Construct through ``make_rep_socket`` / ``make_req_socket`` so callers
+(bridge, gateway) stay flavor-agnostic; both flavors expose the same
+``port`` / ``recv()`` / ``send()`` / ``close()`` surface.
 """
 
 from __future__ import annotations
@@ -12,6 +21,28 @@ from __future__ import annotations
 import socket
 import struct
 import time
+
+TRANSPORTS = ("framed", "zmq")
+
+
+def make_rep_socket(port: int, *, kind: str = "framed",
+                    host: str = "0.0.0.0", timeout: float | None = None):
+    """Bind-side reply socket of the requested flavor."""
+    if kind == "framed":
+        return RepSocket(port, host=host, timeout=timeout)
+    if kind == "zmq":
+        return ZmqRepSocket(port, host=host, timeout=timeout)
+    raise ValueError(f"unknown transport {kind!r} (supported: {TRANSPORTS})")
+
+
+def make_req_socket(host: str, port: int, *, kind: str = "framed",
+                    timeout: float | None = None):
+    """Connect-side request socket of the requested flavor."""
+    if kind == "framed":
+        return ReqSocket(host, port, timeout=timeout)
+    if kind == "zmq":
+        return ZmqReqSocket(host, port, timeout=timeout)
+    raise ValueError(f"unknown transport {kind!r} (supported: {TRANSPORTS})")
 
 _HDR = struct.Struct(">I")
 
@@ -114,3 +145,68 @@ class ReqSocket:
 
     def close(self):
         self._conn.close()
+
+
+# ---------------------------------------------------------------------------
+# Real libzmq flavor (pyzmq) -- the reference's actual transport
+# (realness_bridge.py:25-43 zmq.REP bind, :66-68 zmq.REQ connect)
+# ---------------------------------------------------------------------------
+
+
+def _zmq():
+    import zmq  # deferred: the framed flavor must not require libzmq
+
+    return zmq
+
+
+class ZmqRepSocket:
+    """Bind-side zmq.REP socket; same surface as RepSocket."""
+
+    def __init__(self, port: int, host: str = "0.0.0.0",
+                 timeout: float | None = None):
+        zmq = _zmq()
+        self._ctx = zmq.Context.instance()
+        self._sock = self._ctx.socket(zmq.REP)
+        self._sock.setsockopt(zmq.LINGER, 0)
+        if timeout is not None:
+            ms = int(timeout * 1000)
+            self._sock.setsockopt(zmq.RCVTIMEO, ms)
+            self._sock.setsockopt(zmq.SNDTIMEO, ms)
+        if port == 0:
+            self.port = self._sock.bind_to_random_port(f"tcp://{host}")
+        else:
+            self._sock.bind(f"tcp://{host}:{port}")  # realness_bridge.py:43
+            self.port = port
+
+    def recv(self) -> bytes:
+        return self._sock.recv()
+
+    def send(self, payload: bytes) -> None:
+        self._sock.send(payload)
+
+    def close(self):
+        self._sock.close()
+
+
+class ZmqReqSocket:
+    """Connect-side zmq.REQ socket; same surface as ReqSocket."""
+
+    def __init__(self, host: str, port: int, timeout: float | None = None):
+        zmq = _zmq()
+        self._ctx = zmq.Context.instance()
+        self._sock = self._ctx.socket(zmq.REQ)
+        self._sock.setsockopt(zmq.LINGER, 0)
+        if timeout is not None:
+            ms = int(timeout * 1000)
+            self._sock.setsockopt(zmq.RCVTIMEO, ms)
+            self._sock.setsockopt(zmq.SNDTIMEO, ms)
+        self._sock.connect(f"tcp://{host}:{port}")  # realness_bridge.py:66-68
+
+    def send(self, payload: bytes) -> None:
+        self._sock.send(payload)
+
+    def recv(self) -> bytes:
+        return self._sock.recv()
+
+    def close(self):
+        self._sock.close()
