@@ -82,3 +82,138 @@ def test_ppo_learns_coordination():
     assert np.isfinite(sr).all()
     assert late > early + 0.2, f"PPO no learning: early={early:.2f} late={late:.2f}"
     assert late > 1.2, f"PPO late reward too low: {late:.2f} (optimal 2.0)"
+
+
+# ---------------------------------------------------------------------------
+# Golden test vs the reference loss (VERDICT r2 #6): transliterate
+# ps_ppo.py:49-93 -- critic MSE on (discounted_r - V), clipped surrogate
+# over prob RATIOS (pi_prob/oldpi_prob, not exp(logdiff)), entropy bonus
+# with the clip(1e-10, 1) and the hardcoded e_coef=0.01 -- into NumPy
+# float64 and demand the JAX loss and its gradient match, like the DRQN
+# repack got in test_learner.py.
+# ---------------------------------------------------------------------------
+
+
+def _np_dense(p, x):
+    return x @ np.asarray(p["w"]) + np.asarray(p["b"])
+
+
+def _np_reference_loss(params, old_params, s, a, r, adv, eps_clip):
+    """ps_ppo.py:49-93, feedforward path, NumPy float64 transliteration."""
+    # critic (ps_ppo.py:52-57): dense+relu 'lc' -> dense(1); closs = mean(adv^2)
+    lc = np.maximum(_np_dense(params["critic_fc"], s), 0.0)
+    v = _np_dense(params["critic_head"], lc)[:, 0]
+    closs = np.mean((r - v) ** 2)
+
+    # actor _build_anet (ps_ppo.py:130-138): dense+relu -> dense softmax
+    def pi_of(p):
+        la = np.maximum(_np_dense(p["actor_fc"], s), 0.0)
+        logits = _np_dense(p["actor_head"], la)
+        e = np.exp(logits - logits.max(axis=-1, keepdims=True))
+        return e / e.sum(axis=-1, keepdims=True)
+
+    pi, oldpi = pi_of(params), pi_of(old_params)
+    idx = np.arange(len(a))
+    ratio = pi[idx, a] / oldpi[idx, a]          # ps_ppo.py:70-73
+    surr = ratio * adv
+    clipped = np.clip(ratio, 1.0 - eps_clip, 1.0 + eps_clip) * adv
+    aloss = -np.mean(np.minimum(surr, clipped))  # ps_ppo.py:75-77
+
+    # entropy block (ps_ppo.py:85-89): e_coef hardcoded 0.01, probs clipped
+    log_pi = np.log(np.clip(pi, 1e-10, 1.0))
+    entropy = -np.sum(pi * log_pi, axis=-1)
+    eloss = -np.sum(np.mean(entropy, axis=-1)) * 0.01
+
+    return aloss + 0.5 * closs + eloss, v       # ps_ppo.py:89
+
+
+def _golden_setup(seed=0, M=64, D=7, A=4):
+    cfg = dataclasses.replace(
+        toy_4ue_3r().agent, eps_clip=0.2,
+        network=dataclasses.replace(toy_4ue_3r().agent.network,
+                                    use_lstm_input=False, layers=(16,)),
+    )
+    k = jax.random.PRNGKey(seed)
+    k1, k2, k3, k4, k5 = jax.random.split(k, 5)
+    params = ppo.init_learner(k1, D, A, cfg, jnp.float64).params
+    # old policy = a genuinely different snapshot so ratios leave [1-eps,
+    # 1+eps] and the clip branch is exercised
+    old = ppo.init_learner(k2, D, A, cfg, jnp.float64).params
+    s = jax.random.normal(k3, (M, D), jnp.float64)
+    a = jax.random.randint(k4, (M,), 0, A)
+    r = jax.random.normal(k5, (M,), jnp.float64)
+    return cfg, params, old, s, a, r
+
+
+def test_reference_loss_golden():
+    cfg, params, old, s, a, r = _golden_setup()
+    # reference update() computes adv = r - V(s) once with the CURRENT
+    # critic before the epochs (ps_ppo.py:99) and feeds it as a constant
+    loss_np, v_np = _np_reference_loss(
+        jax.tree.map(np.asarray, params), jax.tree.map(np.asarray, old),
+        np.asarray(s), np.asarray(a), np.asarray(r),
+        np.asarray(r) - np.asarray(ppo.values(
+            ppo.PPOLearner(params=params, old_params=old, opt_state=None),
+            s, cfg)),
+        cfg.eps_clip)
+    batch = {
+        "states": s, "actions": a, "returns": r,
+        "advantages": r - ppo.values(
+            ppo.PPOLearner(params=params, old_params=old, opt_state=None),
+            s, cfg),
+    }
+    loss_j, _ = ppo.ppo_loss(params, old, batch, cfg, normalize_adv=False)
+    # float64: the only divergences are ratio-from-probs vs exp(logdiff)
+    # and summation order -- sub-1e-12 relative
+    np.testing.assert_allclose(float(loss_j), loss_np, rtol=1e-12)
+    # clipping must actually be active in this fixture or the test is weak
+    pi = np.exp(np.asarray(jax.nn.log_softmax(
+        ppo.ac.ppo_policy_logits(params, s, cfg), axis=-1)))
+    oldpi = np.exp(np.asarray(jax.nn.log_softmax(
+        ppo.ac.ppo_policy_logits(old, s, cfg), axis=-1)))
+    idx = np.arange(len(np.asarray(a)))
+    ratio = pi[idx, np.asarray(a)] / oldpi[idx, np.asarray(a)]
+    assert ((ratio > 1.2) | (ratio < 0.8)).any()
+
+
+def test_reference_loss_gradient_golden():
+    """The analytic gradient of the combined loss equals central finite
+    differences of the NumPy reference transliteration, in float64."""
+    cfg, params, old, s, a, r = _golden_setup(seed=3)
+    adv = r - ppo.values(
+        ppo.PPOLearner(params=params, old_params=old, opt_state=None), s, cfg)
+    batch = {"states": s, "actions": a, "returns": r, "advantages": adv}
+    grads = jax.grad(
+        lambda p: ppo.ppo_loss(p, old, batch, cfg, normalize_adv=False)[0]
+    )(params)
+
+    np_params = jax.tree.map(np.asarray, params)
+    np_old = jax.tree.map(np.asarray, old)
+    s_np, a_np, r_np, adv_np = map(np.asarray, (s, a, r, adv))
+
+    def loss_at(p):
+        return _np_reference_loss(p, np_old, s_np, a_np, r_np, adv_np,
+                                  cfg.eps_clip)[0]
+
+    rng = np.random.RandomState(11)
+    eps = 1e-6
+    leaves, treedef = jax.tree.flatten(np_params)
+    for trial in range(4):
+        direction = [rng.randn(*leaf.shape) for leaf in leaves]
+        plus = treedef.unflatten([l + eps * d for l, d in zip(leaves, direction)])
+        minus = treedef.unflatten([l - eps * d for l, d in zip(leaves, direction)])
+        fd = (loss_at(plus) - loss_at(minus)) / (2 * eps)
+        analytic = sum(
+            float(np.sum(np.asarray(g) * d))
+            for g, d in zip(jax.tree.leaves(grads), direction)
+        )
+        np.testing.assert_allclose(analytic, fd, rtol=1e-6, atol=1e-9,
+                                   err_msg=f"direction {trial}")
+
+
+def test_reference_hardcoded_quirks():
+    """The reference hardcodes the combined-optimizer lr (3e-4,
+    ps_ppo.py:90) and the entropy coefficient (0.01, ps_ppo.py:85)
+    regardless of config; the learner must preserve both."""
+    assert ppo.PPO_COMBINED_LR == 3e-4
+    assert ppo.PPO_E_COEF == 0.01
