@@ -112,6 +112,79 @@ class WindowReplay(struct.PyTreeNode):
         oldest = (self.ptr - self.count) % self.capacity
         return (oldest + deque_idx) % self.capacity
 
+    # -- standalone replay dumps (reference utils/memory.py:196-216) -----
+
+    def save(self, path: str) -> None:
+        """Write the buffer contents to ``path`` as a standalone pickle, in
+        deque order (oldest first) -- the reference's user-facing
+        ``Memory.save`` artifact (utils/memory.py:196-205, which pickles
+        the experience deque).  Works for a single replay (scalar ptr) and
+        a vmapped batch ([B] ptr with lockstep counts): the batched dump
+        keeps the env axis."""
+        import pickle
+
+        import numpy as np
+
+        ptr = np.asarray(self.ptr)
+        count = np.asarray(self.count)
+        batched = ptr.ndim == 1
+        cap = self.states.shape[1] if batched else self.states.shape[0]
+        cnt = int(count.flat[0])  # lockstep writes keep all counts equal
+        oldest = (ptr - count) % cap
+        order = (np.expand_dims(oldest, -1) + np.arange(cnt)) % cap
+
+        def take(buf):
+            buf = np.asarray(buf)
+            if batched:
+                return buf[np.arange(buf.shape[0])[:, None], order]
+            return buf[order]
+
+        data = {
+            "format": "diral_tpu.WindowReplay.v1",
+            "capacity": cap,
+            "batched": batched,
+            "states": take(self.states),
+            "actions": take(self.actions),
+            "rewards": take(self.rewards),
+            "next_states": take(self.next_states),
+        }
+        with open(path, "wb") as f:
+            pickle.dump(data, f)
+
+    @classmethod
+    def load(cls, path: str, capacity: int | None = None) -> "WindowReplay":
+        """Reconstruct a replay from a ``save`` dump.  The reference's
+        ``Memory.load`` is stubbed out (utils/memory.py:207-216); this one
+        works.  ``capacity`` defaults to the dump's."""
+        import pickle
+
+        import numpy as np
+
+        with open(path, "rb") as f:
+            data = pickle.load(f)
+        if data.get("format") != "diral_tpu.WindowReplay.v1":
+            raise ValueError(f"{path}: not a WindowReplay dump")
+        cap = capacity or data["capacity"]
+        env_axis = int(data["batched"])
+        cnt = data["states"].shape[env_axis]
+        if cnt > cap:
+            raise ValueError(f"dump holds {cnt} slots > capacity {cap}")
+
+        def place(arr, dtype=None):
+            pad = [(0, 0)] * arr.ndim
+            pad[env_axis] = (0, cap - cnt)
+            return jnp.asarray(np.pad(np.asarray(arr), pad), dtype)
+
+        lead = (data["states"].shape[0],) if data["batched"] else ()
+        return cls(
+            states=place(data["states"]),
+            actions=place(data["actions"], jnp.int32),
+            rewards=place(data["rewards"]),
+            next_states=place(data["next_states"]),
+            ptr=jnp.full(lead, cnt % cap, jnp.int32),
+            count=jnp.full(lead, cnt, jnp.int32),
+        )
+
     def sample_windows(self, key, batch: int, step: int):
         """batch random contiguous windows of ``step`` slots
         (memory.py:177-194: starts drawn from arange(len - step) without

@@ -150,3 +150,54 @@ def test_driver_mode_switch():
     a = P.driver_mode_actions(jax.random.PRNGKey(0), q, st,
                               jnp.asarray(250000), 2000, 200000)
     np.testing.assert_array_equal(np.asarray(a), [1, 1, 1])
+
+
+def test_window_replay_save_load_roundtrip(tmp_path):
+    """The reference exposed the replay buffer as a user-facing pickle
+    artifact (Memory.save, utils/memory.py:196-205; its load is stubbed
+    out).  save -> load must reproduce the exact deque contents and
+    sampling behavior, including across a ring wraparound."""
+    r = WindowReplay.create(8, (3,), (), (), jnp.float32)
+    for i in range(11):  # wraps: 11 adds into capacity 8
+        r = r.add(jnp.full((3,), i, jnp.float32), i, float(i) / 2,
+                  jnp.full((3,), i + 1, jnp.float32))
+    p = str(tmp_path / "replay.pkl")
+    r.save(p)
+    r2 = WindowReplay.load(p)
+    key = jax.random.PRNGKey(5)
+    a = r.sample_windows(key, batch=4, step=2)
+    b = r2.sample_windows(key, batch=4, step=2)
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+    # deque order preserved: oldest element is add #3 (8-slot ring, 11 adds)
+    import pickle
+    with open(p, "rb") as f:
+        dump = pickle.load(f)
+    np.testing.assert_array_equal(dump["states"][0], np.full(3, 3.0))
+    np.testing.assert_array_equal(dump["states"][-1], np.full(3, 10.0))
+
+
+def test_window_replay_save_load_batched(tmp_path):
+    """Batched (vmapped) replay dumps keep the env axis and reload into a
+    working batched buffer (lockstep pointers)."""
+    B = 4
+    r = jax.vmap(lambda _: WindowReplay.create(6, (2,), (), ()))(jnp.arange(B))
+    for i in range(5):
+        r = WindowReplay.add_lockstep(
+            r, jnp.tile(jnp.asarray([[i, i + 10.0]]), (B, 1))
+            + jnp.arange(B)[:, None] * 100,
+            jnp.full((B,), i, jnp.int32), jnp.full((B,), 0.5), 
+            jnp.zeros((B, 2)))
+    p = str(tmp_path / "replay_b.pkl")
+    r.save(p)
+    r2 = WindowReplay.load(p)
+    np.testing.assert_array_equal(np.asarray(r2.count), np.asarray(r.count))
+    np.testing.assert_array_equal(np.asarray(r2.ptr), np.asarray(r.ptr))
+    # per-env contents distinct and preserved
+    np.testing.assert_array_equal(np.asarray(r2.states[:, :5]),
+                                  np.asarray(r.states[:, :5]))
+    # loading into a larger capacity keeps the deque and resets the ring
+    r3 = WindowReplay.load(p, capacity=12)
+    assert r3.states.shape[1] == 12
+    np.testing.assert_array_equal(np.asarray(r3.states[:, :5]),
+                                  np.asarray(r.states[:, :5]))
