@@ -333,27 +333,71 @@ def bench_train_loop(num_envs: int = 256, chunk: int = 5000,
         f"{compute_dtype}): {rate:,.0f} slots/s, "
         f"{num_envs * rate:,.0f} env-slots/s")
 
-    # Model-FLOP utilization of the whole training program (inference +
-    # env + replay + train events), from XLA's own cost model for the
-    # compiled chunk.  Peak: v5e MXU 197 TFLOP/s bf16 -- the relevant peak
-    # because XLA's default matmul precision executes f32 matmuls as bf16
-    # passes on TPU.
+    # Roofline (VERDICT r2 #5).  Model FLOPs are computed ANALYTICALLY
+    # (matmul terms of the Q-net) -- XLA's cost_analysis counts a scan
+    # body once, not per trip, so round 2's "0.08 GFLOP/slot, 0.2% MFU"
+    # line under-counted by ~80x.  Peak: v5e MXU 197 TFLOP/s bf16 (the
+    # relevant peak: default matmul precision executes f32 matmuls as
+    # bf16 passes on TPU).
     try:
-        from functools import partial
-        ep, I_ = slot_step.episode_step, cfg.episode_interval
+        inf_gf, event_gf = _train_loop_model_flops(cfg)
+        per_slot_gf = inf_gf + event_gf / cfg.episode_interval
+        mfu = per_slot_gf * 1e9 * rate / 197e12
+        log(f"train loop model-FLOPs {per_slot_gf:.2f} GFLOP/slot "
+            f"(inference {inf_gf:.2f} + train {event_gf:.1f}/event /"
+            f" {cfg.episode_interval}), model-MFU {mfu:.1%} of bf16 peak")
 
-        @partial(jax.jit, static_argnames=("m",))
-        def run_eps(c, e0, m: int):
-            return jax.lax.scan(ep, c, e0 + jnp.arange(m))
-
-        fl = run_eps.lower(carry, t0 // I_, chunk // I_).compile(
-            ).cost_analysis()["flops"]
-        mfu = fl * rate / chunk / 197e12
-        log(f"train loop model-FLOPs {fl / chunk / 1e9:.2f} GFLOP/slot, "
-            f"MFU {mfu:.1%} of bf16 peak")
+        # Binding-bound check: time the identical loop with training off;
+        # the difference is the train event.  One extra ~35 s compile.
+        init2, slot2, _ = make_train_functions(
+            dataclasses.replace(cfg, training=False))
+        carry2 = jax.jit(init2)(jax.random.PRNGKey(0))
+        run2, _ = make_chunk_runner(slot2)
+        carry2, l2 = run2(carry2, t0, chunk)
+        float(l2["sum_reward"].sum())
+        rates2 = []
+        for i in range(1, 4):
+            t = time.perf_counter()
+            carry2, l2 = run2(carry2, t0 + i * chunk, chunk)
+            float(l2["sum_reward"].sum())
+            rates2.append(chunk / (time.perf_counter() - t))
+        rate2 = sorted(rates2)[1]
+        event_ms = (1.0 / rate - 1.0 / rate2) * cfg.episode_interval * 1e3
+        ev_tflops = event_gf / max(event_ms, 1e-9)  # GFLOP/ms == TFLOP/s
+        log(f"train loop split: slot work {1e6 / rate2:.0f} us/slot "
+            f"({rate2:,.0f} slots/s training-off), train event "
+            f"{event_ms:.2f} ms ({ev_tflops:.0f} TFLOP/s = "
+            f"{ev_tflops / 197:.0%} of bf16 peak during the event -> "
+            f"{'compute' if ev_tflops > 49 else 'overhead/memory'}-bound)")
     except Exception as e:
-        log("MFU estimate unavailable:", repr(e))
+        log("roofline estimate unavailable:", repr(e))
     return rate
+
+
+def _train_loop_model_flops(cfg):
+    """(inference GFLOP per slot, train GFLOP per event): analytic matmul
+    FLOPs of the Q-net (models/qnets.py drqn_apply: LSTM -> dense+LN ->
+    head, or the MLP path), counting 2 FLOPs per MAC.
+
+    Training counts 5 forward-equivalents per window sequence: forward +
+    backward (~2 fwd) on states, target-net forward and online forward on
+    next_states for the Double-DQN target (drl_drqn.py:252-281), times
+    n_batch gradient steps (drl_drqn.py:258)."""
+    acfg = cfg.agent
+    env = cfg.env
+    D, A = env.state_space, env.num_channels
+    H = acfg.network.layers[0]
+    H2 = acfg.network.layers[1] if len(acfg.network.layers) > 1 else H
+    T = acfg.step_size
+    if acfg.network.use_lstm_input:
+        per_seq = T * (D + H) * 4 * H * 2 + H * H2 * 2 + H2 * A * 2
+    else:
+        per_seq = D * H * 2 + H * H2 * 2 + H2 * A * 2
+    n_seq_inf = cfg.engine.num_envs * env.num_users
+    n_seq_train = acfg.batch_size * env.num_users
+    inf_gf = n_seq_inf * per_seq / 1e9
+    event_gf = acfg.n_batch * 5 * n_seq_train * per_seq / 1e9
+    return inf_gf, event_gf
 
 
 def bench_scaling(per_device_envs: int = 1024, chunk: int = 64):

@@ -7,8 +7,9 @@ count normalization (the XLA path materializes a [B, N, N, bins] expansion
 for the bin compare; the kernel keeps everything for one vehicle row in
 VMEM/registers and emits [N, bins] directly).
 
-The kernel is written single-env on padded [Np, Np] tiles (lane dim 128)
-and lifted over the env axis by ``vmap`` (which becomes a grid dimension).
+The kernel is written single-env on logical [N, N] shapes (Mosaic pads
+tiles internally) and lifted over the env axis by ``vmap`` (which becomes
+a grid dimension).
 Binning uses the uniform floor rule with clipping -- within 1 ULP of
 ``np.histogram``'s edge-fixup path; the canonical XLA op
 (ops/histogram.py) remains the bit-exact-parity implementation and the
@@ -34,8 +35,8 @@ def _round_up(x: int, m: int) -> int:
 
 def _piggy_hist_kernel(tx_ref, ty_ref, px_ref, py_ref, age_ref, out_ref, *,
                        n: int, nbins: int, bin_range: float):
-    """One env: tables [Np, Np], positions [Np, 128] (col 0 live), ages
-    [Np, Np] -> normalized histogram [Np, nbins_padded]."""
+    """One env: tables [N, N], positions [N, 1], ages [N, N] -> normalized
+    histogram [N, nbins]; logical shapes, Mosaic pads internally."""
     np_, _ = tx_ref.shape
     px = px_ref[:, 0:1]                      # [Np, 1]
     py = py_ref[:, 0:1]
@@ -80,27 +81,23 @@ def piggy_histogram(table_x, table_y, pos_x, pos_y, table_age,
     table_x/table_y: [N, N] stored positions, pos_x/pos_y: [N] live
     positions, table_age: [N, N] int32.  Returns [N, nbins] in the table
     dtype.  vmap over a leading env axis for batching."""
+    # Logical (unpadded) shapes: Mosaic tiles/pads internally with masked
+    # reductions, so the explicit [128, 128] padding round 2 did in XLA
+    # (pad + slice per call) is pure overhead -- removed like the channel
+    # kernel's (ops/pallas_step.py).
     n = table_x.shape[0]
-    np_ = _round_up(max(n, 8), 128)
-    nb_p = _round_up(max(nbins, 1), 128)
     dtype = table_x.dtype
-
-    pad2 = lambda a: jnp.pad(a, ((0, np_ - n), (0, np_ - n)))
-    # positions as [Np, 128] tiles with the live value in lane 0
-    pos_tile = lambda p: jnp.pad(p[:, None], ((0, np_ - n), (0, 127)))
 
     kernel = functools.partial(
         _piggy_hist_kernel, n=n, nbins=nbins, bin_range=float(bin_range)
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((np_, nb_p), dtype),
+        out_shape=jax.ShapeDtypeStruct((n, nbins), dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=jax.default_backend() != "tpu",
     )(
-        pad2(table_x), pad2(table_y), pos_tile(pos_x), pos_tile(pos_y),
-        jnp.pad(table_age, ((0, np_ - n), (0, np_ - n)),
-                constant_values=STALENESS_CUTOFF),
+        table_x, table_y, pos_x[:, None], pos_y[:, None], table_age,
     )
-    return out[:n, :nbins]
+    return out

@@ -26,8 +26,9 @@ body, itself cited to test_env.py:351-443):
 
 Row-gathers by transmitter id are one-hot matmuls on the MXU (exact: a
 0/1 matrix selects a single row; seq/x/y values are < 2^24 so their f32
-images are exact).  All [N, N] work is [Np, Np] tiles in VMEM; the only
-HBM traffic is the state in/out.  Lift over the env axis with ``vmap``.
+images are exact).  All [N, N] work stays in VMEM at its logical shape
+(Mosaic pads tiles internally); the only HBM traffic is the state
+in/out.  Lift over the env axis with ``vmap``.
 
 The matrices live in "receiver-major" layout (row r = receiver, col t =
 transmitter, valid because D is symmetric); last_arrival is therefore
@@ -44,8 +45,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from diral_tpu.envs.v2v_env import NO_TX_DIST  # one sentinel, one definition
-
-_PAD_POS = 1.0e9          # padded vehicles sit far outside comm range
 
 # table_seq rides the MXU as its float32 image inside the kernel
 # (ts_ref[:].astype(f32)); integers are exact in f32 only below 2^24.  seq
@@ -66,11 +65,12 @@ def _channel_phase_kernel(px_c_ref, py_c_ref, px_r_ref, py_r_ref,
                           orews_ref, oobs_t_ref, *,
                           c: int, comm_range: float, design: int,
                           merge: bool):
-    """One env.  Inputs: positions in both layouts ([Np, 128] col 0 and
-    [8, Np] row 0), actions likewise (int32, padded with -1), tables
-    [Np, Np], last_arrival TRANSPOSED [Np, Np], slot index in SMEM.
-    Outputs: updated tables, transposed last_arrival, rewards [8, Np]
-    (row 0), transposed obs [Cp, Np]."""
+    """One env.  Inputs: positions in both layouts ([N, 1] and [1, N]),
+    actions likewise (int32), tables [N, N], last_arrival TRANSPOSED
+    [N, N], slot index in SMEM; shapes are logical -- Mosaic tiles/pads
+    them internally with masked reductions.  Outputs: updated tables,
+    transposed last_arrival, rewards [8, N] (row 0), transposed obs
+    [Cp, N]."""
     np_ = tx_ref.shape[0]
     f32 = jnp.float32
     R = f32(comm_range)
@@ -187,32 +187,26 @@ def channel_phase(pos_x, pos_y, actions, table_x, table_y, table_seq,
     t: int32 slot index.  Returns (table_x, table_y, table_seq, table_age,
     last_arrival, rewards [N], obs [N, C]).  vmap over a leading env axis.
     """
+    # No explicit padding: Mosaic handles non-tile-aligned logical shapes
+    # natively (internal tile padding, masked reductions).  Round 2 padded
+    # every [N, N] operand to [128, 128] in XLA -- profiled at ~20% of the
+    # scale config's slot work in pad + async-slice staging around the
+    # kernel; the unpadded call is bit-identical (verified on device) and
+    # skips all of it.
     n = pos_x.shape[0]
-    np_ = _round_up(max(n, 8), 128)
     cp = _round_up(max(num_channels, 1), 8)
-
-    pad2 = lambda a, v=0: jnp.pad(a, ((0, np_ - n), (0, np_ - n)),
-                                  constant_values=v)
-    col = lambda p, v: jnp.pad(p[:, None].astype(jnp.float32),
-                               ((0, np_ - n), (0, 127)), constant_values=v)
-    row = lambda p, v: jnp.pad(p[None, :].astype(jnp.float32),
-                               ((0, 7), (0, np_ - n)), constant_values=v)
-    acts_c = jnp.pad(actions.astype(jnp.int32)[:, None],
-                     ((0, np_ - n), (0, 127)), constant_values=-1)
-    acts_r = jnp.pad(actions.astype(jnp.int32)[None, :],
-                     ((0, 7), (0, np_ - n)), constant_values=-1)
 
     kernel = functools.partial(
         _channel_phase_kernel, c=num_channels, comm_range=float(comm_range),
         design=design, merge=merge)
     shapes = [
-        jax.ShapeDtypeStruct((np_, np_), jnp.float32),   # table_x
-        jax.ShapeDtypeStruct((np_, np_), jnp.float32),   # table_y
-        jax.ShapeDtypeStruct((np_, np_), jnp.int32),     # table_seq
-        jax.ShapeDtypeStruct((np_, np_), jnp.int32),     # table_age
-        jax.ShapeDtypeStruct((np_, np_), jnp.int32),     # last_arrival^T
-        jax.ShapeDtypeStruct((8, np_), jnp.float32),     # rewards (row 0)
-        jax.ShapeDtypeStruct((cp, np_), jnp.float32),    # obs^T
+        jax.ShapeDtypeStruct((n, n), jnp.float32),   # table_x
+        jax.ShapeDtypeStruct((n, n), jnp.float32),   # table_y
+        jax.ShapeDtypeStruct((n, n), jnp.int32),     # table_seq
+        jax.ShapeDtypeStruct((n, n), jnp.int32),     # table_age
+        jax.ShapeDtypeStruct((n, n), jnp.int32),     # last_arrival^T
+        jax.ShapeDtypeStruct((8, n), jnp.float32),   # rewards (row 0)
+        jax.ShapeDtypeStruct((cp, n), jnp.float32),  # obs^T
     ]
     out = pl.pallas_call(
         kernel,
@@ -222,16 +216,15 @@ def channel_phase(pos_x, pos_y, actions, table_x, table_y, table_seq,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
         interpret=jax.default_backend() != "tpu",
     )(
-        col(pos_x, _PAD_POS), col(pos_y, _PAD_POS),
-        row(pos_x, _PAD_POS), row(pos_y, _PAD_POS),
-        acts_c, acts_r,
-        pad2(table_x.astype(jnp.float32)),
-        pad2(table_y.astype(jnp.float32)),
-        pad2(table_seq.astype(jnp.int32)),
-        pad2(table_age.astype(jnp.int32)),
-        pad2(last_arrival.astype(jnp.int32).T),
+        pos_x.astype(jnp.float32)[:, None], pos_y.astype(jnp.float32)[:, None],
+        pos_x.astype(jnp.float32)[None, :], pos_y.astype(jnp.float32)[None, :],
+        actions.astype(jnp.int32)[:, None], actions.astype(jnp.int32)[None, :],
+        table_x.astype(jnp.float32),
+        table_y.astype(jnp.float32),
+        table_seq.astype(jnp.int32),
+        table_age.astype(jnp.int32),
+        last_arrival.astype(jnp.int32).T,
         jnp.asarray(t, jnp.int32).reshape(1),
     )
     tx, ty, ts, ta, la_t, rews, obs_t = out
-    return (tx[:n, :n], ty[:n, :n], ts[:n, :n], ta[:n, :n],
-            la_t[:n, :n].T, rews[0, :n], obs_t[:num_channels, :n].T)
+    return (tx, ty, ts, ta, la_t.T, rews[0], obs_t[:num_channels].T)

@@ -36,6 +36,8 @@ def main() -> None:
     ap.add_argument("--coordinator", default=None)
     ap.add_argument("--num-processes", type=int, default=1)
     ap.add_argument("--process-id", type=int, default=0)
+    ap.add_argument("--model-parallel", type=int, default=1,
+                    help="TP axis size; data axis spans 8/model devices")
     ap.add_argument("--out", required=True, help="npz path (process 0 writes)")
     args = ap.parse_args()
 
@@ -59,7 +61,10 @@ def main() -> None:
 
     cfg = tiny_cfg(num_envs=8)
     init_carry, slot_step, _ = make_train_functions(cfg, jnp.float32)
-    mesh = make_mesh()  # spans all 8 global devices across all processes
+    # spans all 8 global devices across all processes; with
+    # --model-parallel 2 the mesh is data=4 x model=2 (the TP axis lives
+    # inside each process, the data axis crosses the process boundary)
+    mesh = make_mesh(model_parallel=args.model_parallel)
     repl = NamedSharding(mesh, P())
 
     shapes = jax.eval_shape(init_carry, jax.random.PRNGKey(0))

@@ -58,3 +58,45 @@ def test_two_process_training_matches_single_process(tmp_path):
     # learner params after 16 slots of cross-process psum'd gradients
     np.testing.assert_allclose(dist["lstm_w"], ref["lstm_w"],
                                rtol=2e-5, atol=2e-6)
+
+
+def test_two_process_dp_tp_mesh_matches_single_process(tmp_path):
+    """DP x TP across the process boundary: data=4 crosses the two
+    processes, model=2 lives inside each.  Cross-process gradients psum
+    over "data" while each matmul's output dim is sharded over "model";
+    numerics must equal the single-process run of the identical mesh."""
+    dist_out = str(tmp_path / "dist_tp.npz")
+    ref_out = str(tmp_path / "ref_tp.npz")
+    coord = f"127.0.0.1:{_free_port()}"
+
+    _run([[sys.executable, WORKER, "--coordinator", coord,
+           "--num-processes", "2", "--process-id", str(pid),
+           "--model-parallel", "2", "--out", dist_out] for pid in range(2)])
+    _run([[sys.executable, WORKER, "--model-parallel", "2",
+           "--out", ref_out]])
+
+    dist, ref = np.load(dist_out), np.load(ref_out)
+    np.testing.assert_allclose(dist["sum_reward"], ref["sum_reward"],
+                               rtol=1e-6)
+    np.testing.assert_allclose(dist["lstm_w"], ref["lstm_w"],
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_four_process_training_matches_single_process(tmp_path):
+    """Four processes x 2 fake devices each: the process count the
+    scaling-efficiency claim extrapolates over must not be special-cased
+    to 2.  Equality against the same single-process 8-device program."""
+    dist_out = str(tmp_path / "dist4.npz")
+    ref_out = str(tmp_path / "ref4.npz")
+    coord = f"127.0.0.1:{_free_port()}"
+
+    _run([[sys.executable, WORKER, "--coordinator", coord,
+           "--num-processes", "4", "--process-id", str(pid),
+           "--out", dist_out] for pid in range(4)])
+    _run([[sys.executable, WORKER, "--out", ref_out]])
+
+    dist, ref = np.load(dist_out), np.load(ref_out)
+    np.testing.assert_allclose(dist["sum_reward"], ref["sum_reward"],
+                               rtol=1e-6)
+    np.testing.assert_allclose(dist["lstm_w"], ref["lstm_w"],
+                               rtol=2e-5, atol=2e-6)
