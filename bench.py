@@ -138,7 +138,8 @@ def main():
         bench_kernel_parity()
         bench_scale()
         train_rate = bench_train_loop()
-        train_rate_bf16 = bench_train_loop(compute_dtype="bfloat16")
+        train_rate_bf16 = bench_train_loop(compute_dtype="bfloat16",
+                                           split=False)
         if len(jax.devices()) > 1:
             bench_scaling()
     except Exception as e:  # secondary diagnostics must not kill the headline
@@ -287,7 +288,7 @@ def bench_scale(num_envs: int = 2048, chunk: int = 32):
 
 
 def bench_train_loop(num_envs: int = 256, chunk: int = 5000,
-                     compute_dtype: str = "float32"):
+                     compute_dtype: str = "float32", split: bool = True):
     """Full toy training slots/s (inference+env+replay+episodic train).
 
     chunk matches the production runner's maximum dispatch granularity
@@ -348,7 +349,10 @@ def bench_train_loop(num_envs: int = 256, chunk: int = 5000,
             f" {cfg.episode_interval}), model-MFU {mfu:.1%} of bf16 peak")
 
         # Binding-bound check: time the identical loop with training off;
-        # the difference is the train event.  One extra ~35 s compile.
+        # the difference is the train event.  One extra ~35 s compile, so
+        # callers skip it on secondary dtype variants (split=False).
+        if not split:
+            return rate
         init2, slot2, _ = make_train_functions(
             dataclasses.replace(cfg, training=False))
         carry2 = jax.jit(init2)(jax.random.PRNGKey(0))

@@ -9,6 +9,7 @@ Replaces the reference's hardcoded experiment list in ``__main__``
     python -m diral_tpu compare-sps <config.yaml> [--steps N]
     python -m diral_tpu serve     [--mode drqn|drqn-rssi|sps|compare] ...
     python -m diral_tpu bench
+    python -m diral_tpu profile   <config.yaml> [--slots N] [--dtype D]
 
 Reference YAMLs load as-is; the ``realness`` flag routes to the interop
 gateway env (the reference driver hard-disables that path,
@@ -214,6 +215,16 @@ def cmd_bench(args):
     bench.main()
 
 
+def cmd_profile(args):
+    """Per-op device profile of the training loop (train/profiling.py):
+    steady-state slots/s + xplane op-attribution table."""
+    from diral_tpu.train.profiling import profile_training
+
+    print(json.dumps(profile_training(
+        args.config, envs=args.num_envs or 16, slots=args.slots or 100,
+        top=args.top, dtype=args.dtype, trace_dir=args.trace_dir)))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="diral_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -299,6 +310,17 @@ def main(argv=None):
 
     sp = sub.add_parser("bench", help="run the throughput benchmark")
     sp.set_defaults(fn=cmd_bench)
+
+    sp = sub.add_parser(
+        "profile",
+        help="per-op device profile of the training loop (xplane trace)")
+    common(sp)
+    sp.add_argument("--slots", type=int, default=100)
+    sp.add_argument("--top", type=int, default=25)
+    sp.add_argument("--dtype", default="float32")
+    sp.add_argument("--trace-dir", default=None,
+                    help="keep the raw trace here (default: temp dir)")
+    sp.set_defaults(fn=cmd_profile)
 
     args = p.parse_args(argv)
     args.fn(args)
