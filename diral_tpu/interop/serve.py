@@ -346,7 +346,8 @@ def compare_sps_over_gateway(cfg: AgentConfig, sim_users: int = 8,
                              sim_channels: int = 6, rounds: int = 400,
                              train_every: int = 25, n_batches: int = 2,
                              eps: float = 0.3, eps_final: float = 0.02,
-                             seed: int = 0, rssi_threshold: float = -110.0):
+                             seed: int = 0, rssi_threshold: float = -110.0,
+                             transport: str = "framed"):
     """Online DIRAL-vs-SPS over the wire protocol: two simulator runs with
     the same world seed, one served by the learning PS-DRQN (dist mode),
     one by SPS (sps mode); compared on tail raw PRR.  This reproduces the
@@ -356,7 +357,8 @@ def compare_sps_over_gateway(cfg: AgentConfig, sim_users: int = 8,
         return GatewayEnv(port=0, sim_start=True, sim_users=sim_users,
                           sim_channels=sim_channels, sim_rounds=rounds + 5,
                           sim_seed=seed, sim_mode=mode, state_design=2,
-                          pos_dist=2, reward_design=2)
+                          pos_dist=2, reward_design=2,
+                          sim_transport=transport)
 
     env = make_env("dist")
     try:

@@ -178,7 +178,8 @@ def cmd_serve(args):
             acfg, sim_users=args.users, sim_channels=args.channels,
             rounds=args.rounds, train_every=args.train_every,
             n_batches=args.n_batches, eps=args.eps,
-            eps_final=args.eps_final, seed=seed)))
+            eps_final=args.eps_final, seed=seed,
+            transport=args.transport)))
         return
 
     sim_mode = {"drqn": "dist", "drqn-rssi": "syn", "ps-dqn": "syn",
@@ -187,7 +188,8 @@ def cmd_serve(args):
                      sim_channels=args.channels, sim_rounds=args.rounds + 5,
                      sim_seed=seed, sim_mode=sim_mode, state_design=2,
                      pos_dist=2, reward_design=args.reward_design,
-                     distance_based_reward=args.distance_reward)
+                     distance_based_reward=args.distance_reward,
+                     sim_transport=args.transport)
     try:
         if args.mode == "sps":
             print(json.dumps(serve_sps(env, args.rounds, seed=seed)))
@@ -305,6 +307,10 @@ def main(argv=None):
                     help="rewards from reported positions "
                          "(realness_env.py:120-191) instead of PRR")
     sp.add_argument("--port", type=int, default=0)
+    sp.add_argument("--transport", default="framed",
+                    choices=["framed", "zmq"],
+                    help="wire flavor for bridge AND simulator: "
+                         "length-prefixed TCP or real libzmq")
     sp.add_argument("--seed", type=int, default=None)
     sp.set_defaults(fn=cmd_serve)
 
