@@ -39,6 +39,16 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _median(xs):
+    """Proper median: mean of the middle two for even counts.  The
+    adaptive headline loop produces even counts exactly in degraded
+    captures, where the upper-middle element would bias the published
+    value upward."""
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
 def main():
     cfg = toy_4ue_3r().env
     dtype = jnp.float32
@@ -129,7 +139,7 @@ def main():
         log(f"BENCH SPREAD FAILURE: max/min = {spread:.2f}x over {r} runs "
             f"of >=1 s device work each -- the tunnel (or the chip) is too "
             f"unstable for this capture to be trusted")
-    best = sorted(rates)[len(rates) // 2]  # median
+    best = _median(rates)
     log(f"headline: median {best:,.0f}, best {max(rates):,.0f}, "
         f"spread {spread:.2f}x over {r} runs")
 
@@ -237,9 +247,36 @@ def bench_kernel_parity(n: int = 100, c: int = 50):
                          if "rewards" in bad else "")
                 log(f"KERNEL PARITY FAILURE (design={design} merge={merge}, "
                     f"compiled pallas vs xla): {sorted(set(bad))}{extra}")
+    # piggy_histogram: same trap class (compiled Mosaic path vs the
+    # interpret-mode CI coverage), same guard.  XLA reference is the
+    # canonical bit-exact op behind positional_dist_piggy_type2.
+    from diral_tpu.ops.pallas_kernels import piggy_histogram
+
+    st = dataclasses.replace(base.state, hist_impl="xla", num_bins=50)
+    hcfg = dataclasses.replace(base, num_users=n, num_channels=c,
+                               bin_range=500.0, state=st)
+    ks = jax.random.split(jax.random.PRNGKey(77), 6)
+    state = E.reset(hcfg, ks[0], jnp.float32)
+    state = state.replace(
+        table_x=jax.random.uniform(ks[1], (n, n), jnp.float32, 0, 2000),
+        table_y=jax.random.uniform(ks[2], (n, n), jnp.float32, 0, 2),
+        table_age=jax.random.randint(ks[3], (n, n), 0, 40),
+        pos_x=jax.random.uniform(ks[4], (n,), jnp.float32, 0, 2000),
+        pos_y=jax.random.uniform(ks[5], (n,), jnp.float32, 0, 2),
+    )
+    h_xla = jax.jit(lambda s: E.positional_dist_piggy_type2(hcfg, s))(state)
+    h_pal = jax.jit(lambda s: piggy_histogram(
+        s.table_x, s.table_y, s.pos_x, s.pos_y, s.table_age, 500.0, 50)
+    )(state)
+    hd = float(jnp.abs(h_xla - h_pal).max())
+    if hd > 1e-6:  # 1 ULP at bin edges is documented; more is corruption
+        any_bad = True
+        log(f"KERNEL PARITY FAILURE (piggy_histogram compiled pallas vs "
+            f"xla): max|d|={hd:.3e}")
+
     if not any_bad:
-        log("kernel parity (compiled pallas vs xla, designs 2/3/4 x "
-            "merge on/off, adversarial seqs): OK")
+        log("kernel parity (compiled pallas vs xla: channel designs 2/3/4 "
+            "x merge on/off w/ adversarial seqs, piggy histogram): OK")
 
 
 def bench_scale(num_envs: int = 2048, chunk: int = 32):
@@ -367,12 +404,20 @@ def bench_train_loop(num_envs: int = 256, chunk: int = 5000,
             rates2.append(chunk / (time.perf_counter() - t))
         rate2 = sorted(rates2)[1]
         event_ms = (1.0 / rate - 1.0 / rate2) * cfg.episode_interval * 1e3
-        ev_tflops = event_gf / max(event_ms, 1e-9)  # GFLOP/ms == TFLOP/s
-        log(f"train loop split: slot work {1e6 / rate2:.0f} us/slot "
-            f"({rate2:,.0f} slots/s training-off), train event "
-            f"{event_ms:.2f} ms ({ev_tflops:.0f} TFLOP/s = "
-            f"{ev_tflops / 197:.0%} of bf16 peak during the event -> "
-            f"{'compute' if ev_tflops > 49 else 'overhead/memory'}-bound)")
+        if event_ms <= 0:
+            # a tunnel stall in the training-off median inverted the
+            # difference; an absurd clamped rate would print the OPPOSITE
+            # bound verdict, so refuse instead
+            log(f"train loop split unreliable this run (training-off "
+                f"median {rate2:,.0f} <= training-on {rate:,.0f} slots/s "
+                f"-- timing noise); skipping the bound verdict")
+        else:
+            ev_tflops = event_gf / event_ms  # GFLOP/ms == TFLOP/s
+            log(f"train loop split: slot work {1e6 / rate2:.0f} us/slot "
+                f"({rate2:,.0f} slots/s training-off), train event "
+                f"{event_ms:.2f} ms ({ev_tflops:.0f} TFLOP/s = "
+                f"{ev_tflops / 197:.0%} of bf16 peak during the event -> "
+                f"{'compute' if ev_tflops > 49 else 'overhead/memory'}-bound)")
     except Exception as e:
         log("roofline estimate unavailable:", repr(e))
     return rate

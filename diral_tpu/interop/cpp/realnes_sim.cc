@@ -186,7 +186,13 @@ struct ZmqLib {
       z->msg_data = reinterpret_cast<void* (*)(Msg*)>(sym("zmq_msg_data"));
       z->msg_size = reinterpret_cast<size_t (*)(Msg*)>(sym("zmq_msg_size"));
       z->msg_close = reinterpret_cast<int (*)(Msg*)>(sym("zmq_msg_close"));
-      if (!z->ctx_new || !z->socket || !z->send || !z->msg_recv) {
+      // every symbol is called unchecked later; a partially-resolving
+      // libzmq must fall back to the clean "unavailable" path, not
+      // segfault on the first missing call
+      if (!z->ctx_new || !z->ctx_term || !z->socket || !z->close_ ||
+          !z->bind || !z->connect || !z->setsockopt || !z->send ||
+          !z->msg_init || !z->msg_recv || !z->msg_data || !z->msg_size ||
+          !z->msg_close) {
         delete z;
         return static_cast<ZmqLib*>(nullptr);
       }
@@ -224,7 +230,11 @@ struct ZmqLib {
 struct ZmqReq : Transport {
   ZmqLib* z;
   void* sock;
-  ZmqReq(const std::string& host, int port, int timeout_ms = 30000) {
+  // timeout_ms <= 0: block indefinitely, matching the framed-TCP flavor
+  // (the agent side may stall for minutes on its first JIT compile or a
+  // tunnel hiccup; a bounded recv here would silently end the simulation
+  // mid-run while the framed run completes)
+  ZmqReq(const std::string& host, int port, int timeout_ms = 0) {
     z = ZmqLib::get();
     sock = z ? z->make_socket(ZmqLib::REQ, timeout_ms) : nullptr;
     if (sock) {
@@ -411,7 +421,14 @@ void reward_collector_zmq(int port, World* world, std::atomic<bool>* stop) {
   while (!stop->load()) {
     if (!z->recv_string(s, &req)) continue;  // timeout: re-check stop
     std::string payload = collect_rewards(world).SerializeAsString();
-    z->send(s, payload.data(), payload.size(), 0);
+    if (z->send(s, payload.data(), payload.size(), 0) < 0) {
+      // a failed REP send leaves the state machine awaiting send; every
+      // later recv would return EFSM and the loop would hot-spin serving
+      // nothing -- recreate and rebind instead
+      z->close_(s);
+      s = z->make_socket(ZmqLib::REP, /*timeout_ms=*/200);
+      if (z->bind(s, ep.c_str()) != 0) break;
+    }
   }
   z->close_(s);
 }

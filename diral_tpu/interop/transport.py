@@ -175,7 +175,19 @@ class ZmqRepSocket:
         if port == 0:
             self.port = self._sock.bind_to_random_port(f"tcp://{host}")
         else:
-            self._sock.bind(f"tcp://{host}:{port}")  # realness_bridge.py:43
+            # retry EADDRINUSE: zmq_close releases the TCP listener
+            # asynchronously on the io thread, so an immediate rebind of
+            # the same port (restart_sockets) can race the reaper
+            last = None
+            for _ in range(50):
+                try:
+                    self._sock.bind(f"tcp://{host}:{port}")  # realness_bridge.py:43
+                    break
+                except zmq.ZMQError as e:
+                    last = e
+                    time.sleep(0.1)
+            else:
+                raise last
             self.port = port
 
     def recv(self) -> bytes:

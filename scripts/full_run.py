@@ -31,6 +31,8 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eval-steps", type=int, default=500)
     p.add_argument("--eval-envs", type=int, default=16)
+    p.add_argument("--dtype", default=None,
+                   help="network compute dtype override (e.g. bfloat16)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -54,6 +56,11 @@ def main():
         cfg = dataclasses.replace(
             cfg,
             engine=dataclasses.replace(cfg.engine, num_envs=args.num_envs))
+    if args.dtype:
+        cfg = dataclasses.replace(
+            cfg, agent=dataclasses.replace(
+                cfg.agent, network=dataclasses.replace(
+                    cfg.agent.network, compute_dtype=args.dtype)))
     os.makedirs(args.workdir, exist_ok=True)
     print(f"devices: {jax.devices()}", flush=True)
 
