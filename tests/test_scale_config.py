@@ -34,7 +34,9 @@ def test_scale_config_loads():
     cfg = load_config(CFG_PATH)
     assert cfg.env.num_users == 100 and cfg.env.num_channels == 50
     assert cfg.env.state_space == 50 + 50  # one-hot action + 50 bins
-    assert cfg.engine.num_envs == 8192
+    # 16: each env's replay is ~83 MB on device; thousands of envs are
+    # the (replay-free) engine-bench regime, not the training default
+    assert cfg.engine.num_envs == 16
 
 
 def test_scale_single_device_step():
