@@ -1,11 +1,13 @@
 """Reproduce the reference's complete experiment suite on TPU.
 
-Trains every YAML in /root/reference/configs/4ue_3r_toy/ -- the gamma sweep
-{0.3, 0.5, 0.7, 0.95} and the num_bins sweep {10, 20, 40} that constitute
-the reference's published experiment set (main_test.py:279-283 hardcodes
-this list) -- each under its full 250,002-slot schedule, loading the
-reference's own config files verbatim.  Greedy-evaluates each trained
-policy against the SPS baseline and writes one JSON summary.
+Trains the reference's published experiment set -- the gamma sweep
+{0.3, 0.5, 0.7, 0.95} and the num_bins sweep {10, 20, 40} (reference
+main_test.py:279-283 hardcodes this list of 6 configs) -- each under its
+full 250,002-slot schedule.  When the reference checkout is present its
+config files load verbatim; standalone, the identical 6 experiments are
+synthesized from the in-repo flagship config (they differ from it only in
+gamma and num_bins).  Greedy-evaluates each trained policy against the
+SPS baseline and writes one JSON summary.
 
 Usage: python scripts/ref_sweep.py [outdir] [--eval-steps N] [--eval-envs N]
 """
@@ -14,7 +16,6 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
-import glob
 import json
 import os
 import sys
@@ -23,6 +24,41 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REF_CONFIG_DIR = "/root/reference/configs/4ue_3r_toy"
+
+# The published set (reference main_test.py:279-283): (short name, gamma,
+# num_bins).  Short names match the reference filenames' tails.
+SUITE = [
+    ("r2_b10_mg_o_index_dis_07", 0.7, 10),
+    ("r2_b20_mg_o_index_dis_03", 0.3, 20),
+    ("r2_b20_mg_o_index_dis_05", 0.5, 20),
+    ("r2_b20_mg_o_index_dis_07", 0.7, 20),
+    ("r2_b20_mg_o_index_dis_95", 0.95, 20),
+    ("r2_b40_mg_o_index_dis_07", 0.7, 40),
+]
+
+
+def load_suite():
+    """[(name, ExperimentConfig)] -- reference YAMLs when present, else the
+    same experiments expressed natively from the flagship config."""
+    from diral_tpu.config import load_config, toy_4ue_3r
+
+    configs = []
+    for name, gamma, bins in SUITE:
+        path = os.path.join(REF_CONFIG_DIR,
+                            f"config_toy_4ue_3r_tests_db_{name}.yaml")
+        if os.path.exists(path):
+            cfg = load_config(path)
+        else:
+            base = toy_4ue_3r()
+            cfg = dataclasses.replace(
+                base,
+                agent=dataclasses.replace(base.agent, gamma=gamma),
+                env=dataclasses.replace(
+                    base.env, state=dataclasses.replace(
+                        base.env.state, num_bins=bins)),
+            )
+        configs.append((name, cfg))
+    return configs
 
 
 def main():
@@ -44,18 +80,13 @@ def main():
     import jax
     import numpy as np
 
-    from diral_tpu.config import load_config
     from diral_tpu.train.runner import train_experiment
     from diral_tpu.train.evaluate import compare_drqn_vs_sps
 
     os.makedirs(args.outdir, exist_ok=True)
     print(f"devices: {jax.devices()}", flush=True)
     rows = []
-    for path in sorted(glob.glob(os.path.join(REF_CONFIG_DIR, "*.yaml"))):
-        name = (os.path.basename(path)
-                .removeprefix("config_toy_4ue_3r_tests_db_")
-                .removesuffix(".yaml")) or "unnamed"
-        cfg = load_config(path)
+    for name, cfg in load_suite():
         # result artifacts are per-config; model checkpoints not needed here
         cfg = dataclasses.replace(cfg, save_model=False,
                                   experiment_name=name)
