@@ -201,6 +201,110 @@ class WindowReplay(struct.PyTreeNode):
         }
 
 
+class FusedWindowReplay(struct.PyTreeNode):
+    """``WindowReplay`` with state | reward | action fused into one row per
+    slot -- the DRQN training loop's production layout.
+
+    One [S, N, D+2] buffer (channels [0:D) = state, D = reward, D+1 = the
+    action's exact float image -- channel ids are tiny ints) serves all
+    four sample arrays with a single gather: ``next_states`` are the
+    ``states`` rows shifted one slot (the ring-contiguity invariant: in an
+    unbroken add chain the state stored at slot k+1 IS slot k's
+    next_state), and rewards/actions ride the same rows.  The separate
+    next_states buffer disappears entirely, HALVING replay HBM (~200 MB ->
+    ~105 MB at the toy bench config, B=256 x S=1024) -- the binding win,
+    since it bounds how many envs fit per chip.  Gather descriptors also
+    halve (6,656 -> 3,584 per train event), but measured event time is
+    unchanged (3.2 ms): XLA's async slice-start DMAs already overlapped
+    the split gathers off the critical path.  Sampling semantics are
+    bit-identical to the split layout (asserted in tests/test_learner.py);
+    window sampling itself matches reference utils/memory.py:177-194.
+    """
+
+    buf: jax.Array   # [S, N, D+2]
+    ptr: jax.Array   # scalar int32: next write position
+    count: jax.Array  # scalar int32: filled slots (<= capacity)
+
+    @property
+    def capacity(self) -> int:
+        return self.buf.shape[0]
+
+    @property
+    def state_dim(self) -> int:
+        return self.buf.shape[-1] - 2
+
+    @classmethod
+    def create(cls, capacity: int, num_users: int, state_dim: int,
+               dtype=jnp.float32) -> "FusedWindowReplay":
+        return cls(
+            buf=jnp.zeros((capacity, num_users, state_dim + 2), dtype),
+            ptr=jnp.zeros((), jnp.int32),
+            count=jnp.zeros((), jnp.int32),
+        )
+
+    @staticmethod
+    def add_lockstep(replay: "FusedWindowReplay", state, action,
+                     reward) -> "FusedWindowReplay":
+        """Batched-env lockstep append (cf. ``WindowReplay.add_lockstep``:
+        one ``dynamic_update_slice`` exploiting the shared write pointer).
+        There is no ``next_state`` argument -- the next add's ``state`` IS
+        this slot's next_state; callers must keep the chain unbroken
+        (the training loop writes one chain from pretrain through the
+        whole run).  ``replay`` is the vmapped pytree ([B, S, N, D+2] buf,
+        [B] ptr/count); state [B, N, D], action/reward [B, N]."""
+        dt = replay.buf.dtype
+        row = jnp.concatenate(
+            [jnp.asarray(state, dt),
+             jnp.asarray(reward, dt)[..., None],
+             jnp.asarray(action, dt)[..., None]], axis=-1)
+        i = replay.ptr[0]
+        return replay.replace(
+            buf=jax.lax.dynamic_update_index_in_dim(replay.buf, row, i,
+                                                    axis=1),
+            ptr=(replay.ptr + 1) % replay.buf.shape[1],
+            count=jnp.minimum(replay.count + 1, replay.buf.shape[1]),
+        )
+
+    def save(self, path: str) -> None:
+        """Write the buffer as a standalone ``WindowReplay``-v1 pickle
+        (the reference's user-facing ``Memory.save`` artifact,
+        utils/memory.py:196-205), loadable by ``WindowReplay.load``.
+
+        The fused layout stores ``count`` (s, a, r) rows but only
+        ``count - 1`` COMPLETE transitions (the newest slot's next_state
+        arrives with the next add), so the dump holds ``count - 1``
+        transitions -- exactly the information the buffer has."""
+        import pickle
+
+        import numpy as np
+
+        ptr = np.asarray(self.ptr)
+        count = np.asarray(self.count)
+        batched = ptr.ndim == 1
+        cap = self.buf.shape[1] if batched else self.buf.shape[0]
+        cnt = int(count.flat[0])  # lockstep writes keep all counts equal
+        oldest = (ptr - count) % cap
+        order = (np.expand_dims(oldest, -1) + np.arange(cnt)) % cap
+        buf = np.asarray(self.buf)
+        rows = (buf[np.arange(buf.shape[0])[:, None], order] if batched
+                else buf[order])  # [..., cnt, N, D+2] deque order
+        d = self.state_dim
+        t = rows.ndim - 3  # index of the deque axis
+        cur = np.take(rows, np.arange(max(cnt - 1, 0)), axis=t)
+        nxt = np.take(rows, np.arange(1, cnt) if cnt else [], axis=t)
+        data = {
+            "format": "diral_tpu.WindowReplay.v1",
+            "capacity": cap,
+            "batched": batched,
+            "states": cur[..., :d],
+            "actions": cur[..., d + 1].astype(np.int32),
+            "rewards": cur[..., d],
+            "next_states": nxt[..., :d],
+        }
+        with open(path, "wb") as f:
+            pickle.dump(data, f)
+
+
 class TransitionReplay(struct.PyTreeNode):
     """PS-DQN-style flat transition ring with mask/terminal channels."""
 

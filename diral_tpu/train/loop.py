@@ -44,7 +44,7 @@ from flax import struct
 from diral_tpu.config import ExperimentConfig
 from diral_tpu.agents import drqn
 from diral_tpu.agents import policies as pol
-from diral_tpu.agents.replay import WindowReplay
+from diral_tpu.agents.replay import FusedWindowReplay
 from diral_tpu.envs import v2v_env as E
 
 
@@ -52,7 +52,7 @@ class TrainCarry(struct.PyTreeNode):
     env_state: E.EnvState          # batched [B, ...]
     history: jax.Array             # [B, T, N, D]
     state: jax.Array               # [B, N, D]
-    replay: WindowReplay           # batched [B, S, ...]
+    replay: FusedWindowReplay      # batched [B, S, N, D+2]
     learner: drqn.DRQNLearner      # shared across envs
     eps_state: pol.EpsGreedyState
     beta: jax.Array                # scalar; boltzman anneal state (unused otherwise)
@@ -62,27 +62,26 @@ class TrainCarry(struct.PyTreeNode):
     key: jax.Array
 
 
-def sample_windows_cross_env(replay: WindowReplay, key, batch: int, step: int):
+def sample_windows_cross_env(replay: FusedWindowReplay, key, batch: int,
+                             step: int):
     """Uniform window sample across the env axis: flatten the (env, start)
     space, draw without replacement, gather windows from the owning env.
     With one env this reduces to the reference sampler (memory.py:177-194).
 
-    TPU gather layout: v5e gathers are DMA-descriptor-bound (~110 ns per
-    gathered row regardless of row size), so the four per-array window
-    gathers are collapsed into two:
-
-    * ``next_states`` windows are the ``states`` windows shifted one slot
-      (ring-contiguity invariant: the state stored at slot k+1 IS slot k's
-      next_state -- the env never resets mid-run and pretrain/train write
-      one unbroken chain), so ONE states gather of ``step+1`` slots serves
-      both; asserted bit-equal to the direct gather in
-      tests/test_learner.py.
-    * actions and rewards ride one gather via a stacked [.., 2] view
-      (action channel ids are tiny ints, exact in the reward dtype).
-
-    Measured 2x on the whole gather phase (53 -> 26 ms / 40 train events).
+    TPU gather layout: all four sample arrays ride ONE gather of the
+    fused [S, N, D+2] buffer (``FusedWindowReplay``): the ``step+1``-slot
+    window's state channels serve both ``states`` and ``next_states``
+    (ring-contiguity: the state stored at slot k+1 IS slot k's next_state
+    -- the env never resets mid-run and pretrain/train write one unbroken
+    chain), and the reward/action channels ride the same rows (channel
+    ids are tiny ints, exact in the buffer dtype).  Asserted bit-equal to
+    four direct ``WindowReplay`` gathers in tests/test_learner.py.
+    History: the round-2 split layout used two gathers (states + a
+    stacked actions/rewards view) at 6,656 descriptors/event; the fused
+    layout is 3,584 and half the replay HBM -- event time is unchanged
+    (async DMA overlapped the split gathers), the memory is the win.
     """
-    B, S = replay.states.shape[0], replay.states.shape[1]
+    B, S = replay.buf.shape[0], replay.buf.shape[1]
     valid_per_env = replay.count[0] - step  # lockstep: all counts equal
     k1, = jax.random.split(key, 1)
     scores = jax.random.uniform(k1, (B * S,))
@@ -96,22 +95,19 @@ def sample_windows_cross_env(replay: WindowReplay, key, batch: int, step: int):
     env_idx, start = flat // S, flat % S
     oldest = (replay.ptr[0] - replay.count[0]) % S
     idx1 = (oldest + start[:, None] + jnp.arange(step + 1)[None, :]) % S
-    sw = replay.states[env_idx[:, None], idx1]     # [batch, step+1, N, D]
-    rdtype = replay.rewards.dtype
-    ar = jnp.stack([replay.rewards,
-                    replay.actions.astype(rdtype)], axis=-1)  # [B, S, N, 2]
-    arw = ar[env_idx[:, None], idx1[:, :step]]     # [batch, step, N, 2]
+    fw = replay.buf[env_idx[:, None], idx1]   # [batch, step+1, N, D+2]
     # barrier: without it XLA's default-matmul-precision bf16 convert on the
-    # downstream Q-net inputs gets hoisted THROUGH these gathers onto the
+    # downstream Q-net inputs gets hoisted THROUGH the gather onto the
     # whole replay buffer -- measured as two 0.7 ms layout+dtype copies of
     # the full [B, S, N, D] states per train event on v5e (27% of the
     # event).  The barrier pins the convert to the small gathered batch.
-    sw, arw = jax.lax.optimization_barrier((sw, arw))
+    fw, = jax.lax.optimization_barrier((fw,))
+    d = fw.shape[-1] - 2
     return {
-        "states": sw[:, :step],
-        "actions": arw[..., 1].astype(replay.actions.dtype),
-        "rewards": arw[..., 0],
-        "next_states": sw[:, 1:],
+        "states": fw[:, :step, :, :d],
+        "actions": fw[:, :step, :, d + 1].astype(jnp.int32),
+        "rewards": fw[:, :step, :, d],
+        "next_states": fw[:, 1:, :, :d],
     }
 
 
@@ -154,7 +150,7 @@ def make_train_functions(cfg: ExperimentConfig, dtype=jnp.float32, trace=None):
     v_sample = jax.vmap(lambda k: E.sample_actions(env_cfg, k))
     # all envs advance in lockstep -> shared write pointer -> one
     # dynamic_update_slice instead of vmap(add)'s per-env scatters
-    v_add = WindowReplay.add_lockstep
+    v_add = FusedWindowReplay.add_lockstep
     v_ia = jax.vmap(E.information_age, in_axes=(0, None))
 
     # softmax temperature anneal over total episodes (drl_drqn.py:99,
@@ -214,9 +210,7 @@ def make_train_functions(cfg: ExperimentConfig, dtype=jnp.float32, trace=None):
         state0 = v_obtain(env_state, obs0, a0, rews0, 0, float(acfg.eps_init))
 
         replay = jax.vmap(
-            lambda _: WindowReplay.create(
-                cfg.memory_size, (N, D), (N,), (N,), dtype
-            )
+            lambda _: FusedWindowReplay.create(cfg.memory_size, N, D, dtype)
         )(jnp.arange(B))
 
         history = jnp.zeros((B, T, N, D), dtype)
@@ -226,7 +220,7 @@ def make_train_functions(cfg: ExperimentConfig, dtype=jnp.float32, trace=None):
             acts = v_sample(jax.random.split(k, B))
             env_state, obs, _ = v_pretrain(env_state, acts, 0)
             nxt = v_obtain(env_state, obs, acts, rews0, 0, float(acfg.eps_init))
-            replay = v_add(replay, state, acts, rews0, nxt)
+            replay = v_add(replay, state, acts, rews0)
             history = jnp.roll(history, -1, axis=1).at[:, -1].set(nxt)
             return (env_state, nxt, replay, history), None
 
@@ -343,7 +337,7 @@ def make_train_functions(cfg: ExperimentConfig, dtype=jnp.float32, trace=None):
         if cfg.global_reward_avg:
             shaped = shaped + (sum_r / N)[:, None]
 
-        replay = v_add(carry.replay, carry.state, actions, shaped, next_state)
+        replay = v_add(carry.replay, carry.state, actions, shaped)
         history = jnp.roll(carry.history, -1, axis=1).at[:, -1].set(next_state)
 
         # Per-episode velocity randomization at episode end

@@ -153,11 +153,12 @@ def test_learning_signal():
 
 
 def test_sampler_shift_trick_exact():
-    """sample_windows_cross_env derives next_states from the states window
-    shifted one slot (one gather instead of two).  The ring-contiguity
-    invariant (next_states[k] == states[k+1]) must make that BIT-equal to
-    the direct next_states gather on a real training replay, and the
-    stacked actions/rewards gather must round-trip exactly."""
+    """sample_windows_cross_env serves all four sample arrays from ONE
+    gather of the fused [B, S, N, D+2] buffer: next_states are the states
+    window shifted one slot (ring-contiguity invariant), actions/rewards
+    ride the same rows.  The output must BIT-equal four direct gathers of
+    the equivalent split layout on a real training replay, and the action
+    float round-trip must be exact."""
     import jax.numpy as jnp
     from diral_tpu.train.loop import (make_train_functions,
                                       sample_windows_cross_env)
@@ -178,8 +179,13 @@ def test_sampler_shift_trick_exact():
     got = jax.jit(lambda r, k: sample_windows_cross_env(r, k, batch, step))(
         replay, key)
 
-    # reference computation: the original four direct gathers
-    B, S = replay.states.shape[0], replay.states.shape[1]
+    # reference computation: four direct gathers of the split layout,
+    # reconstructed from the fused buffer in numpy
+    buf = np.asarray(replay.buf)                 # [B, S, N, D+2]
+    D = buf.shape[-1] - 2
+    states, rewards = buf[..., :D], buf[..., D]
+    actions = buf[..., D + 1].astype(np.int32)
+    B, S = buf.shape[0], buf.shape[1]
     valid = replay.count[0] - step
     k1, = jax.random.split(key, 1)
     scores = jax.random.uniform(k1, (B * S,))
@@ -187,14 +193,45 @@ def test_sampler_shift_trick_exact():
     _, flat = jax.lax.top_k(-scores, batch)
     env_idx, start = flat // S, flat % S
     oldest = (replay.ptr[0] - replay.count[0]) % S
-    idx = (oldest + start[:, None] + jnp.arange(step)[None, :]) % S
-    take = lambda arr: np.asarray(arr)[np.asarray(env_idx)[:, None],
-                                       np.asarray(idx)]
-    np.testing.assert_array_equal(np.asarray(got["states"]),
-                                  take(replay.states))
+    idx = (np.asarray(oldest) + np.asarray(start)[:, None]
+           + np.arange(step)[None, :]) % S
+    e = np.asarray(env_idx)[:, None]
+    np.testing.assert_array_equal(np.asarray(got["states"]), states[e, idx])
+    # the shift trick: next_states == states one ring slot later
     np.testing.assert_array_equal(np.asarray(got["next_states"]),
-                                  take(replay.next_states))
+                                  states[e, (idx + 1) % S])
     np.testing.assert_array_equal(np.asarray(got["actions"]),
-                                  take(replay.actions))
+                                  actions[e, idx])
     np.testing.assert_array_equal(np.asarray(got["rewards"]),
-                                  take(replay.rewards))
+                                  rewards[e, idx])
+
+
+def test_fused_replay_chain_invariant():
+    """The fused layout stores no next_states: slot k's next_state IS the
+    state channels of ring slot k+1.  Witness it against the live loop:
+    stepping slot-by-slot, the row written at slot t holds the PRE-slot
+    carry.state and the slot's actions, and the post-slot carry.state (the
+    old layout's next_state) is exactly what slot t+1's row stores."""
+    import jax.numpy as jnp
+    from diral_tpu.train.loop import make_train_functions
+
+    cfg = small_cfg()
+    cfg = dataclasses.replace(
+        cfg, engine=dataclasses.replace(cfg.engine, num_envs=2)
+    )
+    init_carry, slot_step, _ = make_train_functions(cfg)
+    carry = jax.jit(init_carry)(jax.random.PRNGKey(3))
+    jit_slot = jax.jit(slot_step)
+    D = carry.state.shape[-1]
+    prev_next = None
+    for t in range(40, 44):
+        pre_state = np.asarray(carry.state)
+        carry, logs = jit_slot(carry, jnp.asarray(t))
+        i = (int(carry.replay.ptr[0]) - 1) % carry.replay.buf.shape[1]
+        row = np.asarray(carry.replay.buf[:, i])
+        np.testing.assert_array_equal(row[..., :D], pre_state)
+        np.testing.assert_array_equal(row[..., D + 1].astype(np.int32),
+                                      np.asarray(logs["actions"]))
+        if prev_next is not None:  # previous slot's next_state == this row's
+            np.testing.assert_array_equal(prev_next, row[..., :D])
+        prev_next = np.asarray(carry.state)

@@ -201,3 +201,40 @@ def test_window_replay_save_load_batched(tmp_path):
     assert r3.states.shape[1] == 12
     np.testing.assert_array_equal(np.asarray(r3.states[:, :5]),
                                   np.asarray(r.states[:, :5]))
+
+
+def test_fused_replay_save_to_window_dump(tmp_path):
+    """FusedWindowReplay.save writes the same v1 pickle artifact the split
+    buffer produces (the reference's Memory.save surface) -- count-1
+    COMPLETE transitions in deque order, next_states derived from the
+    chain -- and WindowReplay.load reconstructs a working buffer from it,
+    including across a ring wraparound."""
+    from diral_tpu.agents.replay import FusedWindowReplay
+
+    B, N, D, cap = 3, 2, 4, 8
+    r = jax.vmap(lambda _: FusedWindowReplay.create(cap, N, D))(jnp.arange(B))
+    # unbroken chain: the state added at step i+1 is step i's next_state
+    mk = lambda i: (jnp.arange(B * N * D, dtype=jnp.float32)
+                    .reshape(B, N, D) + 1000.0 * i)
+    for i in range(11):  # wraps: 11 adds into capacity 8
+        r = FusedWindowReplay.add_lockstep(
+            r, mk(i), jnp.full((B, N), i % 3, jnp.int32),
+            jnp.full((B, N), i / 2.0))
+    p = str(tmp_path / "fused.pkl")
+    r.save(p)
+    r2 = WindowReplay.load(p)
+    # 8 (s, a, r) rows held -> 7 complete transitions: adds #3..#9
+    assert int(np.asarray(r2.count)[0]) == 7
+    np.testing.assert_array_equal(np.asarray(r2.states[:, 0]),
+                                  np.asarray(mk(3)))
+    np.testing.assert_array_equal(np.asarray(r2.states[:, 6]),
+                                  np.asarray(mk(9)))
+    # chain-derived next_states: one add later
+    np.testing.assert_array_equal(np.asarray(r2.next_states[:, 0]),
+                                  np.asarray(mk(4)))
+    np.testing.assert_array_equal(np.asarray(r2.next_states[:, 6]),
+                                  np.asarray(mk(10)))
+    np.testing.assert_array_equal(
+        np.asarray(r2.actions[:, 5]), np.full((B, N), 8 % 3, np.int32))
+    np.testing.assert_array_equal(
+        np.asarray(r2.rewards[:, 5]), np.full((B, N), 4.0, np.float32))
