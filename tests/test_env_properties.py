@@ -126,3 +126,46 @@ def test_unrolled_fold_helpers_match_jnp_semantics():
         ids = jax.random.randint(jax.random.fold_in(key, n + 99), (n,), 0, n)
         np.testing.assert_array_equal(np.asarray(_gather_rows(mat, ids)),
                                       np.asarray(mat[ids]))
+
+
+def test_bin_membership_equals_index_form():
+    """The gather-free membership histogram must agree bit-for-bit with the
+    np.histogram index math (histogram_bin_indices) AND with np.histogram
+    itself, on adversarial values: exact edges, the floats one ULP either
+    side of every edge, and both range endpoints -- in f32 and f64."""
+    from diral_tpu.ops.histogram import (bin_membership,
+                                         histogram_bin_indices)
+
+    for dtype, lo, hi, nbins in [(np.float32, -500.0, 500.0, 20),
+                                 (np.float64, -500.0, 500.0, 20),
+                                 (np.float64, -1.0, 1.0, 13),
+                                 (np.float32, 0.0, 737.5, 7)]:
+        edges = np.linspace(dtype(lo), dtype(hi), nbins + 1, dtype=dtype)
+        vals = np.concatenate([
+            edges,
+            np.nextafter(edges, dtype(np.inf), dtype=dtype),
+            np.nextafter(edges, dtype(-np.inf), dtype=dtype),
+            np.linspace(dtype(lo), dtype(hi), 997, dtype=dtype),
+        ])
+        member = np.asarray(bin_membership(jnp.asarray(vals), lo, hi, nbins))
+        idx = np.asarray(histogram_bin_indices(jnp.asarray(vals), lo, hi,
+                                               nbins))
+        # range mask under XLA semantics (like the real ops): XLA flushes
+        # subnormals, so a host-side mask would disagree on values like
+        # nextafter(0, -1)
+        in_range = np.asarray((jnp.asarray(vals) >= lo)
+                              & (jnp.asarray(vals) <= hi))
+        onehot = (idx[:, None] == np.arange(nbins)) & in_range[:, None]
+        np.testing.assert_array_equal(member, onehot)
+        if dtype is np.float64:
+            # np.histogram cross-check (f64 only: np.histogram builds its
+            # edges in float64 regardless of the values' dtype, so f32
+            # near-edge values legitimately classify against different
+            # edge images -- parity work runs in f64, where they agree).
+            # Subnormals are excluded: XLA flushes them to zero before
+            # comparing (nextafter(0, -1) lands right-of-edge under XLA,
+            # left-of-edge under NumPy) -- unreachable for real distances.
+            normal = (vals == 0) | (np.abs(vals) >= np.finfo(dtype).tiny)
+            keep = in_range & normal
+            counts = np.histogram(vals[keep], nbins, range=(lo, hi))[0]
+            np.testing.assert_array_equal(member[keep].sum(axis=0), counts)
