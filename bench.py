@@ -274,9 +274,49 @@ def bench_kernel_parity(n: int = 100, c: int = 50):
         log(f"KERNEL PARITY FAILURE (piggy_histogram compiled pallas vs "
             f"xla): max|d|={hd:.3e}")
 
+    # Fused LSTM window kernel (ops/pallas_lstm.py): compiled Mosaic fwd +
+    # custom-VJP grads vs the XLA lstm_scan path on-device.  Tolerance is
+    # the documented bf16-matmul-input class (both paths quantize matmul
+    # inputs to bf16 on TPU via default precision, but reduction orders
+    # differ); corruption-class bugs (wrong gate order, bad tile
+    # accumulation, stale VMEM) are orders of magnitude larger.
+    import numpy as _np
+    from diral_tpu.models.recurrent import lstm_init, lstm_scan
+    from diral_tpu.ops.pallas_lstm import lstm_last
+
+    B, T, D, H = 300, 6, 23, 256  # non-tile-multiple batch: padding path
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    p = lstm_init(ks[0], D, H, jnp.float32)
+    x = jax.random.normal(ks[1], (B, T, D), jnp.float32) * 3.0
+    gw = jax.random.normal(ks[2], (H,), jnp.float32)
+    f_pal = jax.jit(lambda x_, w_, b_: lstm_last(x_, w_, b_))
+    f_xla = jax.jit(lambda x_, w_, b_: lstm_scan(
+        {"w": w_, "b": b_}, x_)[1][:, -1])
+    hp = _np.asarray(f_pal(x, p["w"], p["b"]))
+    hx = _np.asarray(f_xla(x, p["w"], p["b"]))
+    scale = max(float(_np.abs(hx).max()), 1e-6)
+    if _np.max(_np.abs(hp - hx)) / scale > 0.05:
+        any_bad = True
+        log(f"KERNEL PARITY FAILURE (lstm_last compiled pallas vs xla fwd): "
+            f"max|d|/max={_np.max(_np.abs(hp - hx)) / scale:.3e}")
+    g_pal = jax.jit(jax.grad(
+        lambda w_, b_: (lstm_last(x, w_, b_) * gw).sum(), argnums=(0, 1)))
+    g_xla = jax.jit(jax.grad(
+        lambda w_, b_: (lstm_scan({"w": w_, "b": b_}, x)[1][:, -1]
+                        * gw).sum(), argnums=(0, 1)))
+    for a, b_, nm in zip(g_pal(p["w"], p["b"]), g_xla(p["w"], p["b"]),
+                         ("dw", "db")):
+        a, b_ = _np.asarray(a), _np.asarray(b_)
+        sc = max(float(_np.abs(b_).max()), 1e-6)
+        if _np.max(_np.abs(a - b_)) / sc > 0.05:
+            any_bad = True
+            log(f"KERNEL PARITY FAILURE (lstm_last compiled pallas vs xla "
+                f"{nm}): max|d|/max={_np.max(_np.abs(a - b_)) / sc:.3e}")
+
     if not any_bad:
         log("kernel parity (compiled pallas vs xla: channel designs 2/3/4 "
-            "x merge on/off w/ adversarial seqs, piggy histogram): OK")
+            "x merge on/off w/ adversarial seqs, piggy histogram, fused "
+            "LSTM fwd+vjp): OK")
 
 
 def bench_scale(num_envs: int = 2048, chunk: int = 32):

@@ -112,12 +112,12 @@ def loss_fn(params, states, actions, targets, cfg: AgentConfig):
     return jnp.mean(jnp.square(h))
 
 
-@partial(jax.jit, static_argnames=("cfg", "num_users"))
-def train_on_batch(learner: DRQNLearner, batch, cfg: AgentConfig, num_users: int):
-    """One gradient step on one sampled window batch. Returns (learner, loss)."""
-    states, actions, rewards, next_states = repack_user_major(
-        batch, num_users, cfg.network.use_lstm_input
-    )
+def train_on_packed(learner: DRQNLearner, states, actions, rewards,
+                    next_states, cfg: AgentConfig):
+    """One gradient step on an already-repacked row batch.  ``states`` /
+    ``next_states`` may be [NB, T, D] or the flat padded [NB, T*Dp]
+    window layout (ops/pallas_lstm.flatten_window) -- the production
+    sampler emits flat rows (loop.py sample_window_rows_many)."""
     targets = jax.lax.stop_gradient(td_targets(learner, rewards, next_states, cfg))
     loss, grads = jax.value_and_grad(loss_fn)(
         learner.params, states, actions, targets, cfg
@@ -127,24 +127,58 @@ def train_on_batch(learner: DRQNLearner, batch, cfg: AgentConfig, num_users: int
     return learner.replace(params=params, opt_state=opt_state), loss
 
 
+@partial(jax.jit, static_argnames=("cfg", "num_users"))
+def train_on_batch(learner: DRQNLearner, batch, cfg: AgentConfig, num_users: int):
+    """One gradient step on one sampled window batch. Returns (learner, loss)."""
+    states, actions, rewards, next_states = repack_user_major(
+        batch, num_users, cfg.network.use_lstm_input
+    )
+    return train_on_packed(learner, states, actions, rewards, next_states,
+                           cfg)
+
+
 def train(learner: DRQNLearner, replay, key, time_step, cfg: AgentConfig,
-          num_users: int, sample_fn=None):
+          num_users: int, sample_fn=None, sample_rows_fn=None):
     """The reference ``train`` call (drl_drqn.py:199-265): ``n_batch``
     sampled-batch gradient steps, then a target sync when
     (time_step + 1) % target_update == 0.  Pure; usable inside scan.
 
     ``sample_fn(key) -> batch`` overrides the sampler (the training loop
     passes its cross-env window sampler); default is the single-replay
-    window sampler."""
-    step = cfg.step_size if cfg.network.use_lstm_input else 1
+    window sampler.  ``sample_rows_fn(keys[n]) -> rows dict with leading
+    [n]`` (loop.py ``sample_window_rows_many``), when given, draws all
+    ``n_batch`` independent batches PRE-REPACKED through ONE fused gather
+    up front (the draws don't depend on params, so this is bit-identical
+    to per-step sampling with the same key chain -- same key stream, same
+    selected windows, same user-major row order as repack_user_major;
+    the reference re-samples per step, drl_drqn.py:207-212)."""
+    use_lstm = cfg.network.use_lstm_input
+    step = cfg.step_size if use_lstm else 1
     if sample_fn is None:
         sample_fn = lambda k: replay.sample_windows(k, cfg.batch_size, step)
     # loss dtype must match train_on_batch's (the params dtype): float64
     # runs feed this through a lax.cond whose branches must agree
     loss = jnp.zeros((), jax.tree_util.tree_leaves(learner.params)[0].dtype)
+    # the same key chain either way: one split per gradient step
+    keys = []
     for k in range(cfg.n_batch):
         key, kb = jax.random.split(key)
-        learner, loss = train_on_batch(learner, sample_fn(kb), cfg, num_users)
+        keys.append(kb)
+    if sample_rows_fn is not None:
+        rows = sample_rows_fn(jnp.stack(keys))
+        for k in range(cfg.n_batch):
+            s, ns = rows["states"][k], rows["next_states"][k]
+            a, r = rows["actions"][k], rows["rewards"][k]
+            if not use_lstm:
+                # rows carry one padded flat step; the MLP consumes [NB, D]
+                D = learner.params["fc1"]["w"].shape[0]
+                s, ns = s[:, :D], ns[:, :D]
+                a, r = a[:, -1], r[:, -1]
+            learner, loss = train_on_packed(learner, s, a, r, ns, cfg)
+    else:
+        for kb in keys:
+            learner, loss = train_on_batch(learner, sample_fn(kb), cfg,
+                                           num_users)
     sync = (time_step + 1) % cfg.target_update == 0
     target = jax.tree.map(
         lambda t, p: jnp.where(sync, p, t), learner.target_params, learner.params

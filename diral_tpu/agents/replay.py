@@ -205,41 +205,89 @@ class FusedWindowReplay(struct.PyTreeNode):
     """``WindowReplay`` with state | reward | action fused into one row per
     slot -- the DRQN training loop's production layout.
 
-    One [S, N, D+2] buffer (channels [0:D) = state, D = reward, D+1 = the
-    action's exact float image -- channel ids are tiny ints) serves all
-    four sample arrays with a single gather: ``next_states`` are the
-    ``states`` rows shifted one slot (the ring-contiguity invariant: in an
-    unbroken add chain the state stored at slot k+1 IS slot k's
-    next_state), and rewards/actions ride the same rows.  The separate
-    next_states buffer disappears entirely, HALVING replay HBM (~200 MB ->
-    ~105 MB at the toy bench config, B=256 x S=1024) -- the binding win,
-    since it bounds how many envs fit per chip.  Gather descriptors also
-    halve (6,656 -> 3,584 per train event), but measured event time is
-    unchanged (3.2 ms): XLA's async slice-start DMAs already overlapped
-    the split gathers off the critical path.  Sampling semantics are
-    bit-identical to the split layout (asserted in tests/test_learner.py);
-    window sampling itself matches reference utils/memory.py:177-194.
+    A slot is ONE flat row of N*(D+2) lanes -- user n's channels at lane
+    offset n*(D+2): [0:D) = state, D = reward, D+1 = the action's exact
+    float image (channel ids are tiny ints).  One buffer serves all four
+    sample arrays with a single gather: ``next_states`` are the ``states``
+    rows shifted one slot (the ring-contiguity invariant: in an unbroken
+    add chain the state stored at slot k+1 IS slot k's next_state), and
+    rewards/actions ride the same rows.  The separate next_states buffer
+    disappears entirely, HALVING replay HBM -- the binding win, since it
+    bounds how many envs fit per chip.
+
+    Why FLAT rows (round 4): a [S, N, D+2] buffer puts (N, D+2) in the
+    TPU tile dims, and at the production shapes (N=4, D+2=25 in a
+    (8, 128) tile) ~80% of the physical footprint is padding -- every
+    add write, window gather and downstream repack paid 5x the logical
+    bytes.  With [S, N*(D+2)] the row is a dense lane vector (100 of 128
+    lanes), and per-user extraction is a static lane slice.  Sampling
+    semantics are bit-identical to the split layout (asserted in
+    tests/test_learner.py); window sampling itself matches reference
+    utils/memory.py:177-194.
     """
 
-    buf: jax.Array   # [S, N, D+2]
-    ptr: jax.Array   # scalar int32: next write position
+    buf: jax.Array   # [S+pad, N*(D+2)]  (or [B, S+pad, N*(D+2)] vmapped)
+    ptr: jax.Array   # scalar int32: next write position  ([B] vmapped)
     count: jax.Array  # scalar int32: filled slots (<= capacity)
+    # Mirror pad (TPU gather layout): the first ``pad`` ring slots are
+    # duplicated past the end of the ring (buf[S+s] == buf[s] for s < pad,
+    # maintained by add_lockstep's second write), so any ``pad+1``-slot
+    # window is a CONTIGUOUS slice -- the train-event window gather becomes
+    # batch descriptors of whole windows instead of batch*(step+1)
+    # descriptors of single 400-byte rows (measured 1.1 ms/event of pure
+    # descriptor latency at the toy bench config, 33% of the train event).
+    pad: int = struct.field(pytree_node=False, default=0)
+    num_users: int = struct.field(pytree_node=False, default=1)
 
     @property
     def capacity(self) -> int:
-        return self.buf.shape[0]
+        # batch-aware: the production instance is the vmapped pytree
+        # (ptr [B]); mirror save()'s probe.  Logical capacity excludes
+        # the mirror pad.
+        ax = 1 if self.ptr.ndim == 1 else 0
+        return self.buf.shape[ax] - self.pad
 
     @property
     def state_dim(self) -> int:
-        return self.buf.shape[-1] - 2
+        return self.buf.shape[-1] // self.num_users - 2
+
+    # Channel ids ride the replay's float dtype (channel D+1); the id
+    # range must be exactly representable in that dtype's mantissa or
+    # actions silently round on the way back out (e.g. a bf16 buffer
+    # corrupts ids > 256).
+    _MANTISSA_MAX = {
+        jnp.dtype(jnp.float64): 2 ** 53,
+        jnp.dtype(jnp.float32): 2 ** 24,
+        jnp.dtype(jnp.bfloat16): 2 ** 8,
+        jnp.dtype(jnp.float16): 2 ** 11,
+    }
+
+    @classmethod
+    def max_exact_action(cls, dtype) -> int:
+        return cls._MANTISSA_MAX.get(jnp.dtype(dtype), 2 ** 24)
 
     @classmethod
     def create(cls, capacity: int, num_users: int, state_dim: int,
-               dtype=jnp.float32) -> "FusedWindowReplay":
+               dtype=jnp.float32, num_actions: int | None = None,
+               pad: int = 0) -> "FusedWindowReplay":
+        """``num_actions`` (the channel count) enables the exactness guard
+        above at trace time; callers that know the action space should
+        pass it.  ``pad`` is the mirror-pad width -- pass the sample
+        window length (``step``) to make window gathers contiguous."""
+        if num_actions is not None and num_actions > cls.max_exact_action(dtype):
+            raise ValueError(
+                f"FusedWindowReplay({jnp.dtype(dtype).name}) cannot store "
+                f"action ids up to {num_actions - 1} exactly (mantissa "
+                f"limit {cls.max_exact_action(dtype)}); use a wider dtype")
+        if pad >= capacity:
+            raise ValueError(f"mirror pad {pad} must be < capacity {capacity}")
         return cls(
-            buf=jnp.zeros((capacity, num_users, state_dim + 2), dtype),
+            buf=jnp.zeros((capacity + pad, num_users * (state_dim + 2)),
+                          dtype),
             ptr=jnp.zeros((), jnp.int32),
             count=jnp.zeros((), jnp.int32),
+            pad=pad,
+            num_users=num_users,
         )
 
     @staticmethod
@@ -250,19 +298,28 @@ class FusedWindowReplay(struct.PyTreeNode):
         There is no ``next_state`` argument -- the next add's ``state`` IS
         this slot's next_state; callers must keep the chain unbroken
         (the training loop writes one chain from pretrain through the
-        whole run).  ``replay`` is the vmapped pytree ([B, S, N, D+2] buf,
-        [B] ptr/count); state [B, N, D], action/reward [B, N]."""
+        whole run).  ``replay`` is the vmapped pytree ([B, S+pad, N*(D+2)]
+        buf, [B] ptr/count); state [B, N, D], action/reward [B, N].  With
+        a mirror pad, writes to ring slot i < pad also land at i + S so
+        windows read past the ring end without a modulo."""
         dt = replay.buf.dtype
+        cap = replay.capacity
         row = jnp.concatenate(
             [jnp.asarray(state, dt),
              jnp.asarray(reward, dt)[..., None],
              jnp.asarray(action, dt)[..., None]], axis=-1)
+        row = row.reshape(row.shape[:-2] + (-1,))  # [B, N*(D+2)] flat lanes
         i = replay.ptr[0]
+        buf = jax.lax.dynamic_update_index_in_dim(replay.buf, row, i, axis=1)
+        if replay.pad:
+            # second write: the mirror slot for i < pad, else a rewrite of
+            # slot i (idempotent; predication would cost the same)
+            i2 = jnp.where(i < replay.pad, i + cap, i)
+            buf = jax.lax.dynamic_update_index_in_dim(buf, row, i2, axis=1)
         return replay.replace(
-            buf=jax.lax.dynamic_update_index_in_dim(replay.buf, row, i,
-                                                    axis=1),
-            ptr=(replay.ptr + 1) % replay.buf.shape[1],
-            count=jnp.minimum(replay.count + 1, replay.buf.shape[1]),
+            buf=buf,
+            ptr=(replay.ptr + 1) % cap,
+            count=jnp.minimum(replay.count + 1, cap),
         )
 
     def save(self, path: str) -> None:
@@ -281,11 +338,12 @@ class FusedWindowReplay(struct.PyTreeNode):
         ptr = np.asarray(self.ptr)
         count = np.asarray(self.count)
         batched = ptr.ndim == 1
-        cap = self.buf.shape[1] if batched else self.buf.shape[0]
+        cap = self.capacity  # logical: mirror-pad slots are duplicates
         cnt = int(count.flat[0])  # lockstep writes keep all counts equal
         oldest = (ptr - count) % cap
         order = (np.expand_dims(oldest, -1) + np.arange(cnt)) % cap
         buf = np.asarray(self.buf)
+        buf = buf.reshape(buf.shape[:-1] + (self.num_users, -1))  # unflatten
         rows = (buf[np.arange(buf.shape[0])[:, None], order] if batched
                 else buf[order])  # [..., cnt, N, D+2] deque order
         d = self.state_dim

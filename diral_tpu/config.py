@@ -134,6 +134,10 @@ class NetworkConfig:
     # "bfloat16" casts activations/weights for the matmuls (f32 master
     # params, f32 accumulation) -- the TPU MXU's native fast path.
     compute_dtype: str = "float32"
+    # LSTM lowering: "auto" uses the fused Pallas window kernel
+    # (ops/pallas_lstm.py) on TPU when shapes/dtype allow, else the XLA
+    # lstm_scan; "pallas" / "xla" force one path (pallas interprets on CPU).
+    lstm_impl: str = "auto"
     # cuDNN_support / num_gpu are accepted from reference YAML and ignored:
     # device placement is the mesh's concern here.
 

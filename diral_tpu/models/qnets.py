@@ -67,6 +67,47 @@ def layer_norm(params, x, eps=1e-6):
     return y * params["scale"] + params["bias"]
 
 
+def _lstm_last(lstm_params, x, impl: str, step: int):
+    """Last-step LSTM hidden over the history window -> [B, H].
+
+    ``x`` is either [B, T, D] or the FLAT padded window [B, T*Dp]
+    (ops/pallas_lstm.flatten_window layout -- hot paths carry windows
+    flat to avoid the padded [B, T, D] tile layout, see pallas_lstm.py).
+
+    ``impl``: "auto" picks the fused Pallas window kernel
+    (ops/pallas_lstm.py -- one VMEM-resident pass, the train-event hot op)
+    on TPU when dtype/shape allow, else the canonical XLA ``lstm_scan``;
+    "pallas"/"xla" force a path.  The XLA path is the bit-parity
+    implementation (float64 CPU suite); the kernel matches it within the
+    default-matmul-precision class."""
+    from diral_tpu.ops import pallas_lstm
+
+    hidden = lstm_params["w"].shape[1] // 4
+    d = lstm_params["w"].shape[0] - hidden
+    flat = x.ndim == 2
+    if impl == "xla":
+        use_pallas = False
+    else:
+        ok = pallas_lstm.supported(x.dtype, hidden)
+        if impl == "pallas":
+            if not ok:
+                raise ValueError(
+                    f"network.lstm_impl='pallas' unsupported for "
+                    f"dtype={x.dtype}, hidden={hidden}")
+            use_pallas = True
+        else:  # auto
+            use_pallas = ok and jax.default_backend() == "tpu"
+    if use_pallas:
+        if flat:
+            return pallas_lstm.lstm_last_flat(x, lstm_params["w"],
+                                              lstm_params["b"], step)
+        return pallas_lstm.lstm_last(x, lstm_params["w"], lstm_params["b"])
+    if flat:
+        x = pallas_lstm.unflatten_window(x, step, d)
+    _, hs = lstm_scan(lstm_params, x)
+    return hs[:, -1, :]
+
+
 # ---------------------------------------------------------------------------
 # DRQN net (the flagship: LSTM over the history window)
 # ---------------------------------------------------------------------------
@@ -97,7 +138,8 @@ def drqn_init(key, state_dim: int, action_dim: int, cfg: AgentConfig,
 
 
 def drqn_apply(params, x, cfg: AgentConfig):
-    """x: [B, T, D] (LSTM path) or [B, D] (MLP path) -> Q [B, A].
+    """x: [B, T, D] or flat [B, T*Dp] window (LSTM path; see
+    ops/pallas_lstm.flatten_window) or [B, D] (MLP path) -> Q [B, A].
 
     With ``network.compute_dtype == "bfloat16"`` the activations and weights
     are cast to bf16 for the matmuls (master params stay f32; layer_norm and
@@ -119,8 +161,8 @@ def drqn_apply(params, x, cfg: AgentConfig):
         return layer_norm(ln, h)
 
     if cfg.network.use_lstm_input:
-        _, hs = lstm_scan(params["lstm"], x)
-        h = hs[:, -1, :]
+        h = _lstm_last(params["lstm"], x, cfg.network.lstm_impl,
+                       cfg.step_size)
     else:
         h = norm(params["ln1"], jax.nn.relu(dense(params["fc1"], x)))
     h = norm(params["ln2"], jax.nn.relu(dense(params["fc2"], h)))

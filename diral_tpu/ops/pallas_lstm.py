@@ -1,0 +1,328 @@
+"""Fused Pallas LSTM window kernel -- the DRQN Q-net's hot op.
+
+The reference net is BasicLSTMCell over a short history window with only
+the LAST step's hidden state consumed (drl_drqn.py:109-155: dynamic_rnn ->
+``output[:, -1]``).  The XLA lowering of ``lstm_scan`` (models/recurrent.py)
+is HBM-bound, not compute-bound, at the production shapes: it materializes
+the whole-window input projection ([B, T, 4H] -- 48 MB at the toy train
+event) and streams [B, 4H] gate tensors to/from HBM every step for the
+backward pass; the round-4 event profile put the train event at 12% of
+bf16 peak with this traffic as the dominant term.
+
+This kernel computes the full window in one fused pass per batch tile:
+x tile and weights are read ONCE into VMEM, the recurrence (T matmuls +
+gate nonlinearities) runs entirely on-chip, and only the last-step hidden
+leaves the kernel.  The custom VJP recomputes the forward inside the
+backward kernel (h/c history lives in VMEM scratch), so NOTHING is stashed
+to HBM between forward and backward -- the classic recompute trade: ~1.5x
+the matmul FLOPs (cheap here) for ~50x less HBM traffic.
+
+Input layout: the window rides FLAT lanes, [B, T*Dp] with each step's
+features lane-padded to ``Dp = round_up(D, 16)``.  The natural [B, T, D]
+layout puts (T, D) in the TPU tile dims and wastes ~5/6 of its physical
+footprint to lane padding at these shapes (D=23 in 128 lanes), which made
+the producing repack/transpose the single largest train-event op; flat
+windows are dense, per-step reads are aligned static lane slices, and the
+16-multiple step stride keeps bfloat16's (16, 128) packing legal (the
+unpadded bf16 23-lane slice dies in Mosaic layout inference:
+"infer-vector-layout: unsupported shape cast").
+
+Numerics: matmul inputs are cast to bfloat16 with float32 accumulation --
+exactly what XLA's default matmul precision does for f32 operands on TPU
+(CLAUDE.md trap #1), so the kernel matches the XLA path's precision class
+in both float32 and bfloat16 compute modes.  Gate math is float32.
+float64 (the CPU parity suite) must use the ``lstm_scan`` fallback.
+
+Layout notes (TPU): gate order i, g, f, o with the BasicLSTMCell +1.0
+forget bias, matching models/recurrent.py.  H must be a multiple of 128
+(lane-aligned gate slices); B is padded to the batch tile.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def padded_dim(d: int) -> int:
+    """Per-step lane stride of the flat window layout (dtype-independent,
+    so float32 and bfloat16 carries share one layout)."""
+    return _round_up(d, 16)
+
+
+def _mxu_dot(a, b_mat):
+    """bf16-input, f32-accumulate matmul: the XLA default-precision class."""
+    return jnp.dot(a.astype(jnp.bfloat16), b_mat.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+
+
+def _gate_math(c, gates, H: int):
+    i = gates[:, :H]
+    g = gates[:, H:2 * H]
+    f = gates[:, 2 * H:3 * H]
+    o = gates[:, 3 * H:]
+    si = jax.nn.sigmoid(i)
+    tg = jnp.tanh(g)
+    sf = jax.nn.sigmoid(f + 1.0)   # BasicLSTMCell forget bias
+    so = jax.nn.sigmoid(o)
+    new_c = c * sf + si * tg
+    new_h = jnp.tanh(new_c) * so
+    return new_c, new_h, (si, tg, sf, so)
+
+
+def _fwd_kernel(x_ref, wx_ref, wh_ref, b_ref, h_out_ref, *,
+                T: int, Dp: int, H: int):
+    Bt = x_ref.shape[0]
+    f32 = jnp.float32
+    h = jnp.zeros((Bt, H), f32)
+    c = jnp.zeros((Bt, H), f32)
+    wx, wh = wx_ref[:], wh_ref[:]  # pre-cast to bf16 by the wrapper
+    b = b_ref[:].astype(f32)
+    for t in range(T):  # T is small (history windows <= 10): unrolled
+        gates = (_mxu_dot(x_ref[:, t * Dp:(t + 1) * Dp], wx)
+                 + _mxu_dot(h, wh) + b)
+        c, h, _ = _gate_math(c, gates, H)
+    h_out_ref[:] = h.astype(h_out_ref.dtype)
+
+
+def _bwd_kernel(x_ref, wx_ref, wh_ref, b_ref, g_ref,
+                dx_ref, dwx_ref, dwh_ref, db_ref,
+                h_hist, c_hist, *, T: int, Dp: int, H: int):
+    """Recompute-forward backward: h/c history stays in VMEM scratch;
+    weight grads accumulate across the (sequential) batch-tile grid."""
+    Bt = x_ref.shape[0]
+    f32 = jnp.float32
+    wx, wh = wx_ref[:], wh_ref[:]  # pre-cast to bf16 by the wrapper
+    b = b_ref[:].astype(f32)
+
+    # forward sweep (recompute), stashing h_{t-1}/c_{t-1} chains
+    h = jnp.zeros((Bt, H), f32)
+    c = jnp.zeros((Bt, H), f32)
+    for t in range(T):
+        h_hist[t] = h
+        c_hist[t] = c
+        gates = (_mxu_dot(x_ref[:, t * Dp:(t + 1) * Dp], wx)
+                 + _mxu_dot(h, wh) + b)
+        c, h, _ = _gate_math(c, gates, H)
+    c_hist[T] = c
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dwx_ref[:] = jnp.zeros_like(dwx_ref)
+        dwh_ref[:] = jnp.zeros_like(dwh_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    # backward sweep; only the last step receives an external cotangent
+    # (the net consumes h_last alone)
+    dh = g_ref[:].astype(f32)
+    dc = jnp.zeros((Bt, H), f32)
+    for t in reversed(range(T)):
+        xt = x_ref[:, t * Dp:(t + 1) * Dp]
+        h_prev = h_hist[t]
+        c_prev = c_hist[t]
+        c_t = c_hist[t + 1]
+        gates = _mxu_dot(xt, wx) + _mxu_dot(h_prev, wh) + b
+        _, _, (si, tg, sf, so) = _gate_math(c_prev, gates, H)
+        tc = jnp.tanh(c_t)
+        do_ = dh * tc
+        dao = do_ * so * (1.0 - so)
+        dct = dc + dh * so * (1.0 - tc * tc)
+        daf = dct * c_prev * sf * (1.0 - sf)
+        dai = dct * tg * si * (1.0 - si)
+        dag = dct * si * (1.0 - tg * tg)
+        dgates = jnp.concatenate([dai, dag, daf, dao], axis=1)  # i, g, f, o
+        dc = dct * sf
+        # dh_{t-1} = dgates @ Wh^T ; dx_t = dgates @ Wx^T (contract lanes);
+        # wx's padded rows are zero, so padded dx lanes land zero
+        dh = jax.lax.dot_general(
+            dgates.astype(jnp.bfloat16), wh,
+            (((1,), (1,)), ((), ())), preferred_element_type=f32)
+        dx_ref[:, t * Dp:(t + 1) * Dp] = jax.lax.dot_general(
+            dgates.astype(jnp.bfloat16), wx,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=f32).astype(dx_ref.dtype)
+        # dWx += x_t^T @ dgates ; dWh += h_{t-1}^T @ dgates (contract batch)
+        dwx_ref[:] += jax.lax.dot_general(
+            xt.astype(jnp.bfloat16), dgates.astype(jnp.bfloat16),
+            (((0,), (0,)), ((), ())), preferred_element_type=f32)
+        dwh_ref[:] += jax.lax.dot_general(
+            h_prev.astype(jnp.bfloat16), dgates.astype(jnp.bfloat16),
+            (((0,), (0,)), ((), ())), preferred_element_type=f32)
+        db_ref[:] += jnp.sum(dgates, axis=0, keepdims=True)
+
+
+_BT = 256  # batch tile: ~5 MB fwd / ~11 MB bwd VMEM at H=256, T=6
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _pad_batch(x, bt: int):
+    B = x.shape[0]
+    Bp = _round_up(max(B, 1), bt)
+    if Bp != B:
+        x = jnp.pad(x, ((0, Bp - B),) + ((0, 0),) * (x.ndim - 1))
+    return x, B, Bp
+
+
+def _pad_w(w, D: int, Dp: int):
+    """Input-weight rows padded to the flat layout's step stride; padded
+    rows are zero so padded x lanes contribute nothing.  Cast once here,
+    not per batch tile inside the kernel."""
+    wx = jnp.pad(w[:D], ((0, Dp - D), (0, 0))).astype(jnp.bfloat16)
+    wh = w[D:].astype(jnp.bfloat16)
+    return wx, wh
+
+
+def _fwd_impl(x2, w, b, T: int, Dp: int):
+    _, L = x2.shape
+    assert L == T * Dp, (L, T, Dp)
+    H = w.shape[1] // 4
+    D = w.shape[0] - H
+    xp, B0, Bp = _pad_batch(x2, _BT)
+    wx, wh = _pad_w(w, D, Dp)
+    kernel = functools.partial(_fwd_kernel, T=T, Dp=Dp, H=H)
+    h = pl.pallas_call(
+        kernel,
+        grid=(Bp // _BT,),
+        in_specs=[
+            pl.BlockSpec((_BT, L), lambda ib: (ib, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Dp, 4 * H), lambda ib: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 4 * H), lambda ib: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * H), lambda ib: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_BT, H), lambda ib: (ib, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, H), x2.dtype),
+        interpret=_interpret(),
+    )(xp, wx, wh, b[None, :])
+    return h[:B0]
+
+
+def _bwd_impl(x2, w, b, g, T: int, Dp: int):
+    _, L = x2.shape
+    H = w.shape[1] // 4
+    D = w.shape[0] - H
+    xp, B0, Bp = _pad_batch(x2, _BT)
+    gp, _, _ = _pad_batch(g, _BT)  # zero rows -> zero weight-grad term
+    wx, wh = _pad_w(w, D, Dp)
+    kernel = functools.partial(_bwd_kernel, T=T, Dp=Dp, H=H)
+    dx, dwx, dwh, db = pl.pallas_call(
+        kernel,
+        grid=(Bp // _BT,),
+        in_specs=[
+            pl.BlockSpec((_BT, L), lambda ib: (ib, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Dp, 4 * H), lambda ib: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 4 * H), lambda ib: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * H), lambda ib: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BT, H), lambda ib: (ib, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_BT, L), lambda ib: (ib, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Dp, 4 * H), lambda ib: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 4 * H), lambda ib: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * H), lambda ib: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, L), x2.dtype),
+            jax.ShapeDtypeStruct((Dp, 4 * H), jnp.float32),
+            jax.ShapeDtypeStruct((H, 4 * H), jnp.float32),
+            jax.ShapeDtypeStruct((1, 4 * H), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((T + 1, _BT, H), jnp.float32),
+            pltpu.VMEM((T + 1, _BT, H), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(xp, wx, wh, b[None, :], gp)
+    dx = dx[:B0]
+    dw = jnp.concatenate([dwx[:D], dwh], axis=0).astype(w.dtype)
+    return dx, dw, db[0].astype(b.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _flat_op(T: int, Dp: int):
+    @jax.custom_vjp
+    def op(x2, w, b):
+        return _fwd_impl(x2, w, b, T, Dp)
+
+    def fwd(x2, w, b):
+        return _fwd_impl(x2, w, b, T, Dp), (x2, w, b)
+
+    def bwd(res, g):
+        x2, w, b = res
+        return _bwd_impl(x2, w, b, g, T, Dp)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def lstm_last_flat(x2, w, b, T: int):
+    """Fused LSTM over a FLAT padded window, returning only the last
+    hidden state.
+
+    x2: [B, T*Dp] with Dp = padded_dim(D) and each step's D features at
+    lane offset t*Dp (pad lanes should be zero: they meet zero weight
+    rows so the forward ignores them either way, but zeros keep the
+    layout canonical); w: [D+H, 4H]; b: [4H].  Returns [B, H] in x2's
+    dtype."""
+    H = w.shape[1] // 4
+    D = w.shape[0] - H
+    return _flat_op(T, padded_dim(D))(x2, w, b)
+
+
+def lstm_last(x, w, b):
+    """Fused LSTM over a [B, T, D] window -> last hidden [B, H].
+
+    Semantics = ``lstm_scan(params, x)[1][:, -1]`` within the
+    default-matmul-precision class (bf16-input matmuls, f32 accumulation);
+    the XLA path stays the canonical implementation and the parity is
+    checked in tests/test_pallas_lstm.py + bench.py's on-device gate.
+    Prefer ``lstm_last_flat`` on hot paths: this wrapper pads/flattens
+    here, and the flat layout lets XLA fuse that with the producing
+    transpose instead of materializing the padded [B, T, D] form."""
+    return lstm_last_flat(flatten_window(x), w, b, x.shape[1])
+
+
+def flatten_window(x):
+    """[B, T, D] -> the kernel's flat [B, T*Dp] layout (zero pad lanes)."""
+    B, T, D = x.shape
+    Dp = padded_dim(D)
+    return jnp.pad(x, ((0, 0), (0, 0), (0, Dp - D))).reshape(B, T * Dp)
+
+
+def unflatten_window(x2, T: int, D: int):
+    """Inverse of ``flatten_window`` (drops pad lanes)."""
+    B = x2.shape[0]
+    Dp = padded_dim(D)
+    return x2.reshape(B, T, Dp)[..., :D]
+
+
+def supported(x_dtype, hidden: int) -> bool:
+    """Shapes/dtypes the kernel serves; callers fall back to lstm_scan
+    otherwise (notably float64 -- the CPU bit-parity suite)."""
+    return (jnp.dtype(x_dtype) in (jnp.dtype(jnp.float32),
+                                   jnp.dtype(jnp.bfloat16))
+            and hidden % 128 == 0)

@@ -50,7 +50,14 @@ from diral_tpu.envs import v2v_env as E
 
 class TrainCarry(struct.PyTreeNode):
     env_state: E.EnvState          # batched [B, ...]
-    history: jax.Array             # [B, T, N, D]
+    # History rides the Q-net's FLAT padded window layout, agent-major:
+    # [B, N, T*Dp] with step t's D features at lane offset t*Dp
+    # (Dp = ops/pallas_lstm.padded_dim(D)).  The reference's [T, N, D]
+    # deque layout would need a [B,T,N,D] -> [B*N, T, D] transpose every
+    # slot for the batched forward, and that padded-tile transpose was a
+    # measured hot op; flat agent-major history makes the per-slot Q
+    # input a zero-copy reshape and the slot update a lane roll.
+    history: jax.Array             # [B, N, T*Dp]
     state: jax.Array               # [B, N, D]
     replay: FusedWindowReplay      # batched [B, S, N, D+2]
     learner: drqn.DRQNLearner      # shared across envs
@@ -62,52 +69,180 @@ class TrainCarry(struct.PyTreeNode):
     key: jax.Array
 
 
+def _bottom_k_two_stage(scores2d, k: int):
+    """Indices of the ``k`` smallest entries of the flattened [B, S] score
+    matrix, in ascending-score order with lowest-flat-index ties --
+    bit-identical to ``top_k(-scores.reshape(-1), k)`` but O(B*S) work on
+    small per-row top_ks instead of one 262k-key global sort (measured
+    0.25 ms per sort at the toy bench config, 15% of the train event).
+
+    Stage 1 keeps each env's ``q`` smallest; stage 2 selects the global
+    ``k`` among the B*q candidates.  Exactness guard: if any env's WORST
+    surviving candidate would still make the global cut, that env's
+    row may have been truncated, and the full flat top_k runs instead
+    (probability ~ Poisson-tail( k/B > q ): vanishing at the production
+    shape, never silently wrong).  Tie order is preserved because both
+    stages order candidates (env-major, ascending score, lowest index),
+    exactly the flat ordering."""
+    B, S = scores2d.shape
+    q = min(S, max(32, -(-4 * k // max(B, 1))))  # ceil(4k/B), floor 32
+    v1, i1 = jax.lax.top_k(-scores2d, q)          # [B, q] per-env bottoms
+    v2, c2 = jax.lax.top_k(v1.reshape(-1), k)     # over B*q candidates
+    env = c2 // q
+    flat = env * S + i1.reshape(-1)[c2]
+    if q == S:
+        return flat  # complete rows: no truncation possible
+    # env truncated <=> its q-th smallest is at/below the global cutoff
+    maybe_truncated = (v1[:, -1] >= v2[-1]).any()
+
+    def exact_fallback(_):
+        _, f = jax.lax.top_k(-scores2d.reshape(-1), k)
+        return f
+
+    return jax.lax.cond(maybe_truncated, exact_fallback, lambda _: flat,
+                        None)
+
+
+def _gather_flat_windows(replay: FusedWindowReplay, keys, batch: int,
+                         step: int):
+    """``n`` independent uniform window draws across the env axis, one
+    fused gather of whole FLAT windows.  Selection: flatten the (env,
+    start) space, draw ``batch`` starts without replacement per key (the
+    exact two-stage bottom-k above, not a 262k-key global sort).  With
+    one env each draw reduces to the reference sampler (memory.py:177-194);
+    draws for different keys are independent (the reference re-samples per
+    gradient step, drl_drqn.py:207-212).
+
+    TPU layout (the round-4 train-event fixes, from the measured event
+    profiles): the buffer's mirror pad makes every ``step+1``-slot window
+    one CONTIGUOUS slice, so the gather moves n*batch whole-window
+    descriptors instead of n*batch*(step+1) single-row descriptors
+    (measured 1.1 ms/event of descriptor latency); rows are flat
+    [N*(D+2)] lane vectors, so nothing in the chain materializes the
+    ~5x-padded [.., N, D+2] tile layout; and all n batches ride ONE
+    gather (the draws are param-independent, so nothing serializes
+    against the gradient steps).
+
+    Returns fw [n*batch, step+1, N*(D+2)] (the optimization barrier pins
+    downstream dtype converts to the gathered batch -- without it XLA
+    hoists the Q-net's bf16 convert through the gather onto the whole
+    replay buffer, measured 1.4 ms/event)."""
+    B, S = replay.buf.shape[0], replay.capacity
+    if replay.pad < step:
+        raise ValueError(
+            f"replay mirror pad {replay.pad} < sample window {step}; "
+            f"create the replay with pad=step")
+    n = keys.shape[0]
+    valid_per_env = replay.count[0] - step  # lockstep: all counts equal
+    col = jnp.arange(B * S) % S
+
+    flats = []
+    for j in range(n):  # python loop: keeps each two-stage cond un-vmapped
+        k1, = jax.random.split(keys[j], 1)
+        scores = jax.random.uniform(k1, (B * S,))
+        scores = jnp.where(col < valid_per_env, scores, jnp.inf)
+        flats.append(_bottom_k_two_stage(scores.reshape(B, S), batch))
+    flat = jnp.concatenate(flats) if n > 1 else flats[0]
+
+    env_idx, start = flat // S, flat % S
+    oldest = (replay.ptr[0] - replay.count[0]) % S
+    base = (oldest + start) % S  # in [0, S): the mirror pad absorbs +step
+    W = step + 1
+    R = replay.buf.shape[-1]
+    zero = jnp.zeros((), env_idx.dtype)  # match index dtype under x64
+    fw = jax.vmap(
+        lambda e, s0: jax.lax.dynamic_slice(
+            replay.buf, (e, s0, zero), (1, W, R))[0]
+    )(env_idx, base)                          # [n*batch, W, N*(D+2)]
+    fw, = jax.lax.optimization_barrier((fw,))
+    return fw
+
+
 def sample_windows_cross_env(replay: FusedWindowReplay, key, batch: int,
                              step: int):
-    """Uniform window sample across the env axis: flatten the (env, start)
-    space, draw without replacement, gather windows from the owning env.
-    With one env this reduces to the reference sampler (memory.py:177-194).
+    """Uniform window sample across the env axis (one batch); see
+    ``_gather_flat_windows``."""
+    many = sample_windows_cross_env_many(replay, key[None], batch, step)
+    return jax.tree.map(lambda x: x[0], many)
 
-    TPU gather layout: all four sample arrays ride ONE gather of the
-    fused [S, N, D+2] buffer (``FusedWindowReplay``): the ``step+1``-slot
-    window's state channels serve both ``states`` and ``next_states``
+
+def sample_windows_cross_env_many(replay: FusedWindowReplay, keys, batch: int,
+                                  step: int):
+    """Window samples in the [n, batch, step, N, D] view layout.
+
+    All four sample arrays come from one gather of the fused flat buffer:
+    the window's state channels serve both ``states`` and ``next_states``
     (ring-contiguity: the state stored at slot k+1 IS slot k's next_state
     -- the env never resets mid-run and pretrain/train write one unbroken
     chain), and the reward/action channels ride the same rows (channel
     ids are tiny ints, exact in the buffer dtype).  Asserted bit-equal to
     four direct ``WindowReplay`` gathers in tests/test_learner.py.
-    History: the round-2 split layout used two gathers (states + a
-    stacked actions/rewards view) at 6,656 descriptors/event; the fused
-    layout is 3,584 and half the replay HBM -- event time is unchanged
-    (async DMA overlapped the split gathers), the memory is the win.
-    """
-    B, S = replay.buf.shape[0], replay.buf.shape[1]
-    valid_per_env = replay.count[0] - step  # lockstep: all counts equal
-    k1, = jax.random.split(key, 1)
-    scores = jax.random.uniform(k1, (B * S,))
-    col = jnp.arange(B * S) % S
-    scores = jnp.where(col < valid_per_env, scores, jnp.inf)
-    # batch smallest scores == uniform w/o replacement; top_k over -scores
-    # selects the identical index set in the identical order as
-    # argsort(scores)[:batch] (both ascending-score, lowest-index ties)
-    # at O(n log k) instead of a full B*S sort
-    _, flat = jax.lax.top_k(-scores, batch)
-    env_idx, start = flat // S, flat % S
-    oldest = (replay.ptr[0] - replay.count[0]) % S
-    idx1 = (oldest + start[:, None] + jnp.arange(step + 1)[None, :]) % S
-    fw = replay.buf[env_idx[:, None], idx1]   # [batch, step+1, N, D+2]
-    # barrier: without it XLA's default-matmul-precision bf16 convert on the
-    # downstream Q-net inputs gets hoisted THROUGH the gather onto the
-    # whole replay buffer -- measured as two 0.7 ms layout+dtype copies of
-    # the full [B, S, N, D] states per train event on v5e (27% of the
-    # event).  The barrier pins the convert to the small gathered batch.
-    fw, = jax.lax.optimization_barrier((fw,))
+
+    The production train path uses ``sample_window_rows_many`` instead
+    (pre-repacked flat rows; this view materializes the padded
+    [.., N, D] tile layout)."""
+    n = keys.shape[0]
+    N = replay.num_users
+    fw = _gather_flat_windows(replay, keys, batch, step)
+    fw = fw.reshape((n, batch, step + 1, N, -1))
     d = fw.shape[-1] - 2
     return {
-        "states": fw[:, :step, :, :d],
-        "actions": fw[:, :step, :, d + 1].astype(jnp.int32),
-        "rewards": fw[:, :step, :, d],
-        "next_states": fw[:, 1:, :, :d],
+        "states": fw[:, :, :step, :, :d],
+        "actions": fw[:, :, :step, :, d + 1].astype(jnp.int32),
+        "rewards": fw[:, :, :step, :, d],
+        "next_states": fw[:, :, 1:, :, :d],
+    }
+
+
+def sample_window_rows_many(replay: FusedWindowReplay, keys, batch: int,
+                            step: int):
+    """Production window samples, pre-repacked to user-major Q-net rows.
+
+    Returns dict of per-draw stacks:
+      states/next_states [n, N*batch, step*Dp]  (flat padded windows,
+        ops/pallas_lstm.flatten_window layout -- feeds drqn_apply
+        directly, row r = user-major (user u = r // batch), exactly the
+        reference repack order drl_drqn.py:294-377);
+      rewards [n, N*batch, step]; actions [n, N*batch, step] int32.
+
+    Built from per-user static lane slices of the flat gather -- no
+    [batch, T, N, D] intermediate, so the repack transpose that cost
+    0.46 ms/event in the padded-tile layout disappears into fused
+    dense copies."""
+    from diral_tpu.ops.pallas_lstm import padded_dim
+
+    n = keys.shape[0]
+    N = replay.num_users
+    D = replay.state_dim
+    D2 = D + 2
+    Dp = padded_dim(D)
+    fw = _gather_flat_windows(replay, keys, batch, step)  # [n*b, W, R]
+    nb = fw.shape[0]
+    pad3 = ((0, 0), (0, 0), (0, Dp - D))
+
+    su, nu, ru, au = [], [], [], []
+    for u in range(N):
+        o = u * D2
+        su.append(jnp.pad(fw[:, :step, o:o + D], pad3)
+                  .reshape(nb, step * Dp))
+        nu.append(jnp.pad(fw[:, 1:, o:o + D], pad3)
+                  .reshape(nb, step * Dp))
+        ru.append(fw[:, :step, o + D])
+        au.append(fw[:, :step, o + D + 1])
+
+    def regroup(parts):
+        # [N, n, batch, ...] -> [n, N*batch, ...] (user-major per draw);
+        # leading-axis transpose only -- tile dims untouched
+        tail = parts[0].shape[1:]
+        y = jnp.stack(parts).reshape((N, n, batch) + tail)
+        y = jnp.swapaxes(y, 0, 1)
+        return y.reshape((n, N * batch) + tail)
+
+    return {
+        "states": regroup(su),
+        "next_states": regroup(nu),
+        "rewards": regroup(ru),
+        "actions": regroup(au).astype(jnp.int32),
     }
 
 
@@ -161,18 +296,33 @@ def make_train_functions(cfg: ExperimentConfig, dtype=jnp.float32, trace=None):
         )
     )
 
+    from diral_tpu.ops.pallas_lstm import padded_dim
+
+    Dp = padded_dim(D)
+
     def qvalues(learner, history):
-        """history [B, T, N, D] -> Q [B, N, A]: one forward for all agents of
-        all envs (the CTDE parameter-sharing win; replaces the reference's
-        per-user sess.run loop, main_test.py:127-136)."""
+        """history [B, N, T*Dp] -> Q [B, N, A]: one forward for all agents
+        of all envs (the CTDE parameter-sharing win; replaces the
+        reference's per-user sess.run loop, main_test.py:127-136).  The
+        agent-major flat history makes both paths zero-copy reshapes."""
         from diral_tpu.models import qnets
 
         if acfg.network.use_lstm_input:
-            x = jnp.transpose(history, (0, 2, 1, 3)).reshape(B * N, T, D)
+            x = history.reshape(B * N, T * Dp)
         else:
-            x = history[:, -1].reshape(B * N, D)
+            x = history[..., (T - 1) * Dp:(T - 1) * Dp + D].reshape(B * N, D)
         q = qnets.drqn_apply(learner.params, x, acfg)
         return q.reshape(B, N, -1)
+
+    def history_push(history, nxt):
+        """Slide the window one slot: drop the oldest Dp lanes, append the
+        new state padded to Dp.  Built as slice+pad+concatenate -- ONE
+        fused output write; the roll + .at[].set spelling lowered to a
+        separate dynamic-update-slice that cost a measured 51 us/slot at
+        the bench config (half the training-off slot work)."""
+        tail = jnp.pad(jnp.asarray(nxt, history.dtype),
+                       ((0, 0), (0, 0), (0, Dp - D)))
+        return jnp.concatenate([history[..., Dp:], tail], axis=-1)
 
     # Warmup always uses the collision step (main_test.py:92 calls my_step
     # unconditionally); pretrain uses my_step_ch when enable_channel else
@@ -209,11 +359,15 @@ def make_train_functions(cfg: ExperimentConfig, dtype=jnp.float32, trace=None):
         env_state, obs0, rews0 = v_warmup(env_state, a0, 0)
         state0 = v_obtain(env_state, obs0, a0, rews0, 0, float(acfg.eps_init))
 
+        # mirror pad = the training sample window, so window gathers are
+        # contiguous (see sample_windows_cross_env_many)
+        window = T if acfg.network.use_lstm_input else 1
         replay = jax.vmap(
-            lambda _: FusedWindowReplay.create(cfg.memory_size, N, D, dtype)
+            lambda _: FusedWindowReplay.create(cfg.memory_size, N, D, dtype,
+                                               num_actions=C, pad=window)
         )(jnp.arange(B))
 
-        history = jnp.zeros((B, T, N, D), dtype)
+        history = jnp.zeros((B, N, T * Dp), dtype)
 
         def pretrain_body(carry, k):
             env_state, state, replay, history = carry
@@ -221,7 +375,7 @@ def make_train_functions(cfg: ExperimentConfig, dtype=jnp.float32, trace=None):
             env_state, obs, _ = v_pretrain(env_state, acts, 0)
             nxt = v_obtain(env_state, obs, acts, rews0, 0, float(acfg.eps_init))
             replay = v_add(replay, state, acts, rews0)
-            history = jnp.roll(history, -1, axis=1).at[:, -1].set(nxt)
+            history = history_push(history, nxt)
             return (env_state, nxt, replay, history), None
 
         n_pre = cfg.pretrain_length * cfg.step_size * 5
@@ -251,6 +405,9 @@ def make_train_functions(cfg: ExperimentConfig, dtype=jnp.float32, trace=None):
             learner, replay, key, t, acfg, N,
             sample_fn=lambda k: sample_windows_cross_env(
                 replay, k, acfg.batch_size, step
+            ),
+            sample_rows_fn=lambda ks: sample_window_rows_many(
+                replay, ks, acfg.batch_size, step
             ),
         )
 
@@ -338,7 +495,7 @@ def make_train_functions(cfg: ExperimentConfig, dtype=jnp.float32, trace=None):
             shaped = shaped + (sum_r / N)[:, None]
 
         replay = v_add(carry.replay, carry.state, actions, shaped)
-        history = jnp.roll(carry.history, -1, axis=1).at[:, -1].set(next_state)
+        history = history_push(carry.history, next_state)
 
         # Per-episode velocity randomization at episode end
         # (main_test.py:226-233 calls env.update_velocity(); no-op unless

@@ -180,12 +180,17 @@ def test_sampler_shift_trick_exact():
         replay, key)
 
     # reference computation: four direct gathers of the split layout,
-    # reconstructed from the fused buffer in numpy
-    buf = np.asarray(replay.buf)                 # [B, S, N, D+2]
+    # reconstructed from the fused flat buffer in numpy (the mirror-pad
+    # slots past capacity are duplicates of ring slots [0, pad) -- assert
+    # that invariant too, then drop them; rows unflatten to [N, D+2])
+    B, S = replay.buf.shape[0], replay.capacity
+    full = np.asarray(replay.buf)                # [B, S+pad, N*(D+2)]
+    if replay.pad:
+        np.testing.assert_array_equal(full[:, S:], full[:, :replay.pad])
+    buf = full[:, :S].reshape(B, S, replay.num_users, -1)
     D = buf.shape[-1] - 2
     states, rewards = buf[..., :D], buf[..., D]
     actions = buf[..., D + 1].astype(np.int32)
-    B, S = buf.shape[0], buf.shape[1]
     valid = replay.count[0] - step
     k1, = jax.random.split(key, 1)
     scores = jax.random.uniform(k1, (B * S,))
@@ -204,6 +209,110 @@ def test_sampler_shift_trick_exact():
                                   actions[e, idx])
     np.testing.assert_array_equal(np.asarray(got["rewards"]),
                                   rewards[e, idx])
+
+
+def test_bottom_k_two_stage_exact():
+    """The two-stage bottom-k must return the identical index sequence as
+    the flat top_k (set, order, AND ties) across shapes that hit both the
+    fast path and the exactness fallback (adversarially concentrated
+    scores so single envs own the whole bottom-k)."""
+    from diral_tpu.train.loop import _bottom_k_two_stage
+
+    rng = np.random.RandomState(7)
+    cases = [
+        (256, 1024, 512),   # production shape (fast path)
+        (3, 256, 16),       # tiny test config
+        (1, 1024, 512),     # reference reduction: q == S, no fallback
+        (8, 64, 48),        # quota pressure: k/B = 6 vs q = 32
+    ]
+    for B, S, k in cases:
+        scores = rng.rand(B * S).astype(np.float32)
+        # adversarial: env 0 owns the entire global bottom-k -> any quota
+        # q < k is truncated and the fallback MUST fire to stay exact
+        conc = scores.copy().reshape(B, S)
+        conc[0, : min(k, S)] = -np.arange(min(k, S), dtype=np.float32)
+        for sc in (scores.reshape(B, S), conc):
+            got = np.asarray(jax.jit(
+                lambda s: _bottom_k_two_stage(s, k))(jnp.asarray(sc)))
+            _, want = jax.lax.top_k(-jnp.asarray(sc).reshape(-1), k)
+            np.testing.assert_array_equal(got, np.asarray(want),
+                                          err_msg=f"B={B} S={S} k={k}")
+
+
+def test_sample_many_equals_singles():
+    """sample_windows_cross_env_many with the train()-key chain must be
+    bit-identical to sequential per-step sampling (the fused gather is a
+    layout change, not a semantics change)."""
+    from diral_tpu.train.loop import (make_train_functions,
+                                      sample_windows_cross_env,
+                                      sample_windows_cross_env_many)
+
+    cfg = small_cfg()
+    cfg = dataclasses.replace(
+        cfg, engine=dataclasses.replace(cfg.engine, num_envs=3))
+    init_carry, slot_step, _ = make_train_functions(cfg)
+    carry = jax.jit(init_carry)(jax.random.PRNGKey(4))
+    carry, _ = jax.jit(lambda c: jax.lax.scan(slot_step, c, jnp.arange(70)))(
+        carry)
+    replay = carry.replay
+    step, batch = cfg.agent.step_size, 16
+
+    key = jax.random.PRNGKey(11)
+    keys = []
+    for _ in range(3):
+        key, kb = jax.random.split(key)
+        keys.append(kb)
+    many = jax.jit(lambda r, ks: sample_windows_cross_env_many(
+        r, ks, batch, step))(replay, jnp.stack(keys))
+    for j, kb in enumerate(keys):
+        single = jax.jit(lambda r, k: sample_windows_cross_env(
+            r, k, batch, step))(replay, kb)
+        for name in single:
+            np.testing.assert_array_equal(
+                np.asarray(many[name][j]), np.asarray(single[name]),
+                err_msg=f"batch {j} field {name}")
+
+
+def test_sample_rows_match_repack():
+    """The production rows sampler (sample_window_rows_many: pre-repacked
+    flat padded windows straight off the gather) must BIT-equal
+    repack_user_major applied to the view sampler's output -- same key
+    chain, same windows, same user-major row order, padded lanes zero."""
+    from diral_tpu.ops.pallas_lstm import padded_dim
+    from diral_tpu.train.loop import (make_train_functions,
+                                      sample_window_rows_many,
+                                      sample_windows_cross_env_many)
+
+    cfg = small_cfg()
+    cfg = dataclasses.replace(
+        cfg, engine=dataclasses.replace(cfg.engine, num_envs=3))
+    init_carry, slot_step, _ = make_train_functions(cfg)
+    carry = jax.jit(init_carry)(jax.random.PRNGKey(6))
+    carry, _ = jax.jit(lambda c: jax.lax.scan(slot_step, c, jnp.arange(70)))(
+        carry)
+    replay = carry.replay
+    T, batch, N = cfg.agent.step_size, 16, cfg.env.num_users
+    D = replay.state_dim
+    Dp = padded_dim(D)
+
+    keys = jnp.stack([jax.random.PRNGKey(21), jax.random.PRNGKey(22)])
+    rows = jax.jit(lambda r, k: sample_window_rows_many(r, k, batch, T))(
+        replay, keys)
+    views = jax.jit(lambda r, k: sample_windows_cross_env_many(r, k, batch,
+                                                               T))(replay,
+                                                                   keys)
+    for j in range(2):
+        batch_j = jax.tree.map(lambda x: x[j], views)
+        s, a, r, ns = drqn.repack_user_major(batch_j, N, use_lstm=True)
+        got_s = np.asarray(rows["states"][j]).reshape(N * batch, T, Dp)
+        np.testing.assert_array_equal(got_s[..., :D], np.asarray(s))
+        np.testing.assert_array_equal(got_s[..., D:], 0.0)  # pad lanes
+        got_ns = np.asarray(rows["next_states"][j]).reshape(N * batch, T, Dp)
+        np.testing.assert_array_equal(got_ns[..., :D], np.asarray(ns))
+        np.testing.assert_array_equal(np.asarray(rows["actions"][j]),
+                                      np.asarray(a))
+        np.testing.assert_array_equal(np.asarray(rows["rewards"][j]),
+                                      np.asarray(r))
 
 
 def test_fused_replay_chain_invariant():
@@ -227,8 +336,9 @@ def test_fused_replay_chain_invariant():
     for t in range(40, 44):
         pre_state = np.asarray(carry.state)
         carry, logs = jit_slot(carry, jnp.asarray(t))
-        i = (int(carry.replay.ptr[0]) - 1) % carry.replay.buf.shape[1]
-        row = np.asarray(carry.replay.buf[:, i])
+        i = (int(carry.replay.ptr[0]) - 1) % carry.replay.capacity
+        row = np.asarray(carry.replay.buf[:, i]).reshape(
+            carry.replay.buf.shape[0], carry.replay.num_users, -1)
         np.testing.assert_array_equal(row[..., :D], pre_state)
         np.testing.assert_array_equal(row[..., D + 1].astype(np.int32),
                                       np.asarray(logs["actions"]))

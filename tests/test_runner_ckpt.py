@@ -4,6 +4,8 @@ checkpoint round-trip is exact, artifacts land in the reference layout."""
 import dataclasses
 import os
 
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -67,6 +69,98 @@ def test_checkpoint_roundtrip_exact(tmp_path):
     c2, l2 = jax.jit(slot_step)(restored, jnp.asarray(1))
     np.testing.assert_array_equal(np.asarray(l1["sum_reward"]),
                                   np.asarray(l2["sum_reward"]))
+
+
+def _legacy_views(carry):
+    """Reconstruct the pre-round-4 carry pieces from a current (flat)
+    carry: 4D replay rows, 4D [B, T, N, D] history."""
+    from diral_tpu.ops.pallas_lstm import padded_dim
+
+    fused = carry.replay
+    N, d = fused.num_users, fused.state_dim
+    core = fused.buf[:, :fused.capacity].reshape(
+        fused.buf.shape[0], fused.capacity, N, d + 2)
+    D = carry.state.shape[-1]
+    Dp = padded_dim(D)
+    B, _, L = carry.history.shape
+    T = L // Dp
+    hist4 = jnp.transpose(
+        carry.history.reshape(B, N, T, Dp)[..., :D], (0, 2, 1, 3))
+    return core, hist4, d
+
+
+@pytest.mark.parametrize("era", ["split", "fused4d"])
+def test_restore_legacy_checkpoints(tmp_path, era):
+    """Checkpoints from earlier carry layouts must still restore: the shim
+    detects the structure mismatch and converts bit-exactly (ADVICE r3:
+    no migration path existed).  Two legacy eras: pre-round-3 split
+    WindowReplay buffers, and round-3's fused 4D replay -- both with the
+    4D [B, T, N, D] history."""
+    from diral_tpu.agents.replay import FusedWindowReplay, WindowReplay
+
+    cfg = small_cfg(tmp_path)
+    init_carry, slot_step, _ = make_train_functions(cfg)
+    carry = jax.jit(init_carry)(jax.random.PRNGKey(3))
+    carry, _ = jax.jit(slot_step)(carry, jnp.asarray(0))
+
+    core, hist4, d = _legacy_views(carry)
+    if era == "split":
+        states = core[..., :d]
+        legacy = WindowReplay(
+            states=states,
+            actions=core[..., d + 1].astype(jnp.int32),
+            rewards=core[..., d],
+            # next_states = states one slot later (unbroken-chain invariant)
+            next_states=jnp.roll(states, -1, axis=1),
+            ptr=carry.replay.ptr,
+            count=carry.replay.count,
+        )
+    else:
+        legacy = FusedWindowReplay(
+            buf=core, ptr=carry.replay.ptr, count=carry.replay.count,
+            pad=0, num_users=carry.replay.num_users)
+    legacy_carry = carry.replace(replay=legacy, history=hist4)
+    mgr = ckpt.checkpoint_manager(str(tmp_path / f"legacy_{era}"))
+    ckpt.save(mgr, 7, legacy_carry)
+
+    restored, step = ckpt.restore(mgr, carry)
+    assert step == 7
+    assert type(restored.replay) is type(carry.replay)
+    np.testing.assert_array_equal(np.asarray(restored.replay.buf),
+                                  np.asarray(carry.replay.buf))
+    np.testing.assert_array_equal(np.asarray(restored.history),
+                                  np.asarray(carry.history))
+    for a, b in zip(jax.tree.leaves(carry.learner),
+                    jax.tree.leaves(restored.learner)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # and the restored carry steps identically to the original
+    c1, l1 = jax.jit(slot_step)(carry, jnp.asarray(1))
+    c2, l2 = jax.jit(slot_step)(restored, jnp.asarray(1))
+    np.testing.assert_array_equal(np.asarray(l1["sum_reward"]),
+                                  np.asarray(l2["sum_reward"]))
+
+
+def test_fused_replay_dtype_guard_and_batch_capacity():
+    """ADVICE r3: a replay dtype that cannot represent the action-id range
+    exactly must be rejected at creation; capacity/state_dim must be
+    batch-aware on the vmapped production pytree."""
+    import pytest
+
+    from diral_tpu.agents.replay import FusedWindowReplay
+
+    with pytest.raises(ValueError, match="exactly"):
+        FusedWindowReplay.create(8, 4, 5, jnp.bfloat16, num_actions=300)
+    # fine within the mantissa
+    FusedWindowReplay.create(8, 4, 5, jnp.bfloat16, num_actions=256)
+    FusedWindowReplay.create(8, 4, 5, jnp.float32, num_actions=300)
+
+    single = FusedWindowReplay.create(8, 4, 5, jnp.float32)
+    assert single.capacity == 8 and single.state_dim == 5
+    batched = jax.vmap(
+        lambda _: FusedWindowReplay.create(8, 4, 5, jnp.float32)
+    )(jnp.arange(3))
+    assert batched.capacity == 8 and batched.state_dim == 5
 
 
 def test_runner_artifacts_layout(tmp_path):
