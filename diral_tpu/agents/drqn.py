@@ -89,13 +89,16 @@ def repack_user_major(batch, num_users: int, use_lstm: bool):
 
 
 def td_targets(learner: DRQNLearner, rewards, next_states, cfg: AgentConfig):
-    """Double-DQN (or max) targets (drl_drqn.py:267-292)."""
-    tq = qnets.drqn_apply(learner.target_params, next_states, cfg)
+    """Double-DQN (or max) targets (drl_drqn.py:267-292).  The online and
+    target forwards on next_states share one dual-net pass
+    (qnets.drqn_apply_dual -- a single fused kernel on the Pallas path)."""
     if cfg.network.use_double:
-        oq = qnets.drqn_apply(learner.params, next_states, cfg)
+        oq, tq = qnets.drqn_apply_dual(learner.params, learner.target_params,
+                                       next_states, cfg)
         act = jnp.argmax(oq, axis=1)
         next_v = jnp.take_along_axis(tq, act[:, None], axis=1)[:, 0]
     else:
+        tq = qnets.drqn_apply(learner.target_params, next_states, cfg)
         next_v = jnp.max(tq, axis=1)
     last_r = rewards[:, -1] if rewards.ndim == 2 else rewards
     return last_r + cfg.gamma * next_v

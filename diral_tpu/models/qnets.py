@@ -137,13 +137,7 @@ def drqn_init(key, state_dim: int, action_dim: int, cfg: AgentConfig,
     return params
 
 
-def drqn_apply(params, x, cfg: AgentConfig):
-    """x: [B, T, D] or flat [B, T*Dp] window (LSTM path; see
-    ops/pallas_lstm.flatten_window) or [B, D] (MLP path) -> Q [B, A].
-
-    With ``network.compute_dtype == "bfloat16"`` the activations and weights
-    are cast to bf16 for the matmuls (master params stay f32; layer_norm and
-    the Q head output compute in f32) -- the MXU fast path."""
+def _maybe_bf16(params, x, cfg: AgentConfig):
     bf16 = cfg.network.compute_dtype == "bfloat16"
     if bf16:
         cast = lambda t: jax.tree.map(
@@ -153,23 +147,74 @@ def drqn_apply(params, x, cfg: AgentConfig):
         params = {k: (cast(v) if k in ("lstm", "fc1", "fc2", "fc3", "head")
                       else v) for k, v in params.items()}
         x = x.astype(jnp.bfloat16)
+    return params, x, bf16
 
-    def norm(ln, h):
+
+def _head_stack(params, h, cfg: AgentConfig, bf16: bool):
+    """The post-feature dense/LN/head tail of the DRQN net."""
+    def norm(ln, hh):
         # layer_norm statistics in f32 even under bf16 compute
         if bf16:
-            return layer_norm(ln, h.astype(jnp.float32)).astype(jnp.bfloat16)
-        return layer_norm(ln, h)
+            return layer_norm(ln, hh.astype(jnp.float32)).astype(jnp.bfloat16)
+        return layer_norm(ln, hh)
 
-    if cfg.network.use_lstm_input:
-        h = _lstm_last(params["lstm"], x, cfg.network.lstm_impl,
-                       cfg.step_size)
-    else:
-        h = norm(params["ln1"], jax.nn.relu(dense(params["fc1"], x)))
     h = norm(params["ln2"], jax.nn.relu(dense(params["fc2"], h)))
     if "fc3" in params:
         h = norm(params["ln3"], jax.nn.relu(dense(params["fc3"], h)))
     out = dense(params["head"], h)
     return out.astype(jnp.float32) if bf16 else out
+
+
+def drqn_apply(params, x, cfg: AgentConfig):
+    """x: [B, T, D] or flat [B, T*Dp] window (LSTM path; see
+    ops/pallas_lstm.flatten_window) or [B, D] (MLP path) -> Q [B, A].
+
+    With ``network.compute_dtype == "bfloat16"`` the activations and weights
+    are cast to bf16 for the matmuls (master params stay f32; layer_norm and
+    the Q head output compute in f32) -- the MXU fast path."""
+    params, x, bf16 = _maybe_bf16(params, x, cfg)
+    if cfg.network.use_lstm_input:
+        h = _lstm_last(params["lstm"], x, cfg.network.lstm_impl,
+                       cfg.step_size)
+    else:
+        def norm(ln, hh):
+            if bf16:
+                return layer_norm(
+                    ln, hh.astype(jnp.float32)).astype(jnp.bfloat16)
+            return layer_norm(ln, hh)
+
+        h = norm(params["ln1"], jax.nn.relu(dense(params["fc1"], x)))
+    return _head_stack(params, h, cfg, bf16)
+
+
+def drqn_apply_dual(params_a, params_b, x, cfg: AgentConfig):
+    """(Q under params_a, Q under params_b) for the SAME input -- the
+    Double-DQN target's online+target forwards on next_states
+    (drl_drqn.py:267-292).  On the Pallas LSTM path the two recurrences
+    run in ONE dual kernel sharing a single VMEM read of x (the window
+    batch is the dominant event traffic at the scale config); otherwise
+    falls back to two ``drqn_apply`` calls."""
+    from diral_tpu.ops import pallas_lstm
+
+    use_dual = (
+        cfg.network.use_lstm_input
+        and x.ndim == 2  # flat windows (the production sampler layout)
+        and cfg.network.lstm_impl in ("auto", "pallas")
+        and pallas_lstm.supported(
+            jnp.bfloat16 if cfg.network.compute_dtype == "bfloat16"
+            else x.dtype,
+            params_a["lstm"]["w"].shape[1] // 4)
+        and (cfg.network.lstm_impl == "pallas"
+             or jax.default_backend() == "tpu")
+    )
+    if not use_dual:
+        return drqn_apply(params_a, x, cfg), drqn_apply(params_b, x, cfg)
+    pa, xa, bf16 = _maybe_bf16(params_a, x, cfg)
+    pb, _, _ = _maybe_bf16(params_b, x, cfg)
+    ha, hb = pallas_lstm.lstm_last_flat_dual(
+        xa, pa["lstm"]["w"], pa["lstm"]["b"],
+        pb["lstm"]["w"], pb["lstm"]["b"], cfg.step_size)
+    return _head_stack(pa, ha, cfg, bf16), _head_stack(pb, hb, cfg, bf16)
 
 
 # ---------------------------------------------------------------------------

@@ -159,7 +159,14 @@ def _bwd_kernel(x_ref, wx_ref, wh_ref, b_ref, g_ref,
         db_ref[:] += jnp.sum(dgates, axis=0, keepdims=True)
 
 
-_BT = 256  # batch tile: ~5 MB fwd / ~11 MB bwd VMEM at H=256, T=6
+_BT = 256  # backward batch tile (~11 MB VMEM at H=256, T=6)
+
+
+def _fwd_tile(B: int) -> int:
+    """Forward batch tile: prefer 512 (halves the sequential matmul count
+    -- the recurrence is latency-chained, so fewer/larger MXU ops win)
+    unless 256 wastes less row padding."""
+    return min((512, 256), key=lambda bt: (_round_up(max(B, 1), bt), -bt))
 
 
 def _interpret() -> bool:
@@ -188,14 +195,15 @@ def _fwd_impl(x2, w, b, T: int, Dp: int):
     assert L == T * Dp, (L, T, Dp)
     H = w.shape[1] // 4
     D = w.shape[0] - H
-    xp, B0, Bp = _pad_batch(x2, _BT)
+    bt = _fwd_tile(x2.shape[0])
+    xp, B0, Bp = _pad_batch(x2, bt)
     wx, wh = _pad_w(w, D, Dp)
     kernel = functools.partial(_fwd_kernel, T=T, Dp=Dp, H=H)
     h = pl.pallas_call(
         kernel,
-        grid=(Bp // _BT,),
+        grid=(Bp // bt,),
         in_specs=[
-            pl.BlockSpec((_BT, L), lambda ib: (ib, 0),
+            pl.BlockSpec((bt, L), lambda ib: (ib, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Dp, 4 * H), lambda ib: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -204,12 +212,77 @@ def _fwd_impl(x2, w, b, T: int, Dp: int):
             pl.BlockSpec((1, 4 * H), lambda ib: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_BT, H), lambda ib: (ib, 0),
+        out_specs=pl.BlockSpec((bt, H), lambda ib: (ib, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bp, H), x2.dtype),
         interpret=_interpret(),
     )(xp, wx, wh, b[None, :])
     return h[:B0]
+
+
+def _fwd_dual_kernel(x_ref, wxa_ref, wha_ref, ba_ref,
+                     wxb_ref, whb_ref, bb_ref, ha_ref, hb_ref, *,
+                     T: int, Dp: int, H: int):
+    """Two LSTMs over the SAME input windows in one pass -- x is read into
+    VMEM once instead of once per net.  Serves the Double-DQN target's
+    (online, target) forwards on next_states (drl_drqn.py:267-292)."""
+    Bt = x_ref.shape[0]
+    f32 = jnp.float32
+    ha = jnp.zeros((Bt, H), f32)
+    ca = jnp.zeros((Bt, H), f32)
+    hb = jnp.zeros((Bt, H), f32)
+    cb = jnp.zeros((Bt, H), f32)
+    wxa, wha, ba = wxa_ref[:], wha_ref[:], ba_ref[:].astype(f32)
+    wxb, whb, bb = wxb_ref[:], whb_ref[:], bb_ref[:].astype(f32)
+    for t in range(T):
+        xt = x_ref[:, t * Dp:(t + 1) * Dp]
+        ga = _mxu_dot(xt, wxa) + _mxu_dot(ha, wha) + ba
+        ca, ha, _ = _gate_math(ca, ga, H)
+        gb = _mxu_dot(xt, wxb) + _mxu_dot(hb, whb) + bb
+        cb, hb, _ = _gate_math(cb, gb, H)
+    ha_ref[:] = ha.astype(ha_ref.dtype)
+    hb_ref[:] = hb.astype(hb_ref.dtype)
+
+
+def _fwd_dual_impl(x2, wa, ba, wb, bb, T: int, Dp: int):
+    _, L = x2.shape
+    H = wa.shape[1] // 4
+    D = wa.shape[0] - H
+    bt = _fwd_tile(x2.shape[0])
+    xp, B0, Bp = _pad_batch(x2, bt)
+    wxa, wha = _pad_w(wa, D, Dp)
+    wxb, whb = _pad_w(wb, D, Dp)
+    kernel = functools.partial(_fwd_dual_kernel, T=T, Dp=Dp, H=H)
+    w_spec = [
+        pl.BlockSpec((Dp, 4 * H), lambda ib: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((H, 4 * H), lambda ib: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 4 * H), lambda ib: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec((bt, H), lambda ib: (ib, 0),
+                            memory_space=pltpu.VMEM)
+    ha, hb = pl.pallas_call(
+        kernel,
+        grid=(Bp // bt,),
+        in_specs=[pl.BlockSpec((bt, L), lambda ib: (ib, 0),
+                               memory_space=pltpu.VMEM)]
+        + w_spec + w_spec,
+        out_specs=[out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct((Bp, H), x2.dtype)] * 2,
+        interpret=_interpret(),
+    )(xp, wxa, wha, ba[None, :], wxb, whb, bb[None, :])
+    return ha[:B0], hb[:B0]
+
+
+def lstm_last_flat_dual(x2, wa, ba, wb, bb, T: int):
+    """(h_last under params a, h_last under params b) for the same flat
+    windows -- forward-only (the Double-DQN target path is inside
+    stop_gradient)."""
+    H = wa.shape[1] // 4
+    D = wa.shape[0] - H
+    return _fwd_dual_impl(x2, wa, ba, wb, bb, T, padded_dim(D))
 
 
 def _bwd_impl(x2, w, b, g, T: int, Dp: int):

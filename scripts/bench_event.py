@@ -101,8 +101,8 @@ def main():
         def body(l, k):
             l, loss = drqn.train(
                 l, replay, k, 1000, acfg, N,
-                sample_fn=lambda kk: L.sample_windows_cross_env(
-                    replay, kk, acfg.batch_size, T))
+                sample_rows_fn=lambda ks: L.sample_window_rows_many(
+                    replay, ks, acfg.batch_size, T))
             return l, loss
         learner, losses = jax.lax.scan(body, learner,
                                        jax.random.split(key, R))

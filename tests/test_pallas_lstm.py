@@ -113,6 +113,26 @@ def test_bfloat16_inputs():
                                rtol=2e-2, atol=2e-2)
 
 
+def test_dual_kernel_matches_two_singles():
+    """lstm_last_flat_dual (one kernel, shared x read -- the Double-DQN
+    target path) must BIT-equal two independent lstm_last_flat calls."""
+    from diral_tpu.ops.pallas_lstm import (flatten_window, lstm_last_flat,
+                                           lstm_last_flat_dual)
+
+    B, T, D, H = 300, 6, 23, 128
+    k = jax.random.PRNGKey(5)
+    kx, ka, kb = jax.random.split(k, 3)
+    pa = lstm_init(ka, D, H, jnp.float32)
+    pb = lstm_init(kb, D, H, jnp.float32)
+    x2 = flatten_window(jax.random.normal(kx, (B, T, D), jnp.float32))
+    ha, hb = jax.jit(lambda x_: lstm_last_flat_dual(
+        x_, pa["w"], pa["b"], pb["w"], pb["b"], T))(x2)
+    sa = jax.jit(lambda x_: lstm_last_flat(x_, pa["w"], pa["b"], T))(x2)
+    sb = jax.jit(lambda x_: lstm_last_flat(x_, pb["w"], pb["b"], T))(x2)
+    np.testing.assert_array_equal(np.asarray(ha), np.asarray(sa))
+    np.testing.assert_array_equal(np.asarray(hb), np.asarray(sb))
+
+
 def test_unsupported_shapes_fall_back():
     assert not supported(jnp.float64, 128)   # the f64 parity suite
     assert not supported(jnp.float32, 200)   # unaligned hidden
