@@ -81,6 +81,30 @@ def add_episode(replay: TransitionReplay, states, actions, rewards,
     return replay.put(states, actions, rewards, term, mask)
 
 
+def add_episodes_batch(replay: TransitionReplay, states, actions, rewards,
+                       terminated):
+    """Batched episode ingest: one ``put`` for A agent-episodes of L steps
+    each (states [A, L, D], actions/rewards [A, L], terminated [A] bool).
+
+    Transition order is agent-major -- agent 0's whole episode, then agent
+    1's, ... -- exactly the reference's sequential per-agent
+    ``_add_to_replay_buffer`` loop (ps_dqn.py:258-294), with the same
+    mask/terminal convention per block: terminals all-zero except a
+    terminated episode's last step, and the last step's mask zeroed when
+    the episode did NOT terminate (its ring successor is another agent's
+    first step).  Bit-equal to A sequential ``add_episode`` calls
+    (tests/test_ps_variants.py)."""
+    A, L = actions.shape
+    flat_s = jnp.reshape(states, (A * L, -1))
+    flat_a = jnp.reshape(actions, (A * L,))
+    flat_r = jnp.reshape(rewards, (A * L,))
+    last = jnp.arange(A * L) % L == L - 1            # each block's last step
+    term_row = jnp.repeat(jnp.asarray(terminated, bool), L)
+    term = last & term_row
+    mask = jnp.where(last & ~term_row, 0.0, 1.0).astype(replay.masks.dtype)
+    return replay.put(flat_s, flat_a, flat_r, term, mask)
+
+
 def td_targets(learner: PSDQNLearner, batch, cfg: AgentConfig):
     """Double-DQN with terminal cut (ps_dqn.py:237-256)."""
     tq = qnets.ps_dqn_apply(learner.target_params, batch["next_states"], cfg)

@@ -78,6 +78,30 @@ class EpisodeReplay(struct.PyTreeNode):
             count=jnp.minimum(self.count + 1, self.states.shape[0]),
         )
 
+    def add_episodes_batch(self, states, actions, rewards, terminated,
+                           lengths):
+        """Batched ingest of A episodes at consecutive ring slots (the
+        reference adds one episode per agent per boundary,
+        ps_drqn.py:273-300).  states [A, L, D] zero-padded,
+        actions/rewards [A, L], terminated [A] bool, lengths [A] int32.
+        Bit-equal to A sequential ``add_episode`` calls."""
+        A = lengths.shape[0]
+        E, L, _ = self.states.shape
+        idx = (self.ptr + jnp.arange(A)) % E
+        term = ((jnp.arange(L)[None, :] == lengths[:, None] - 1)
+                & jnp.asarray(terminated, bool)[:, None])
+        return self.replace(
+            states=self.states.at[idx].set(
+                jnp.asarray(states, self.states.dtype)),
+            actions=self.actions.at[idx].set(jnp.asarray(actions, jnp.int32)),
+            rewards=self.rewards.at[idx].set(
+                jnp.asarray(rewards, self.rewards.dtype)),
+            terminals=self.terminals.at[idx].set(term),
+            lengths=self.lengths.at[idx].set(jnp.asarray(lengths, jnp.int32)),
+            ptr=(self.ptr + A) % E,
+            count=jnp.minimum(self.count + A, E),
+        )
+
     def sample_windows(self, key, batch: int, unroll: int):
         """Length-weighted episode draw + random in-episode window
         (ps_drqn.py:354-374).  Returns [batch, unroll, ...] + masks."""

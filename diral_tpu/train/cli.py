@@ -5,6 +5,7 @@ Replaces the reference's hardcoded experiment list in ``__main__``
 
     python -m diral_tpu train     <config.yaml> [--slots N] [--mesh SPEC] ...
     python -m diral_tpu train-ppo <config.yaml> [--episodes N]
+    python -m diral_tpu train-ps  <config.yaml> [--algo ps-dqn|ps-drqn]
     python -m diral_tpu eval      <config.yaml> [--checkpoint DIR] [--steps N]
     python -m diral_tpu compare-sps <config.yaml> [--steps N]
     python -m diral_tpu serve     [--mode drqn|drqn-rssi|sps|compare] ...
@@ -76,6 +77,23 @@ def cmd_train_ppo(args):
         "episodes": int(sr.shape[0]),
         "mean_sum_reward_first100": float(sr[:100].mean()),
         "mean_sum_reward_last100": float(sr[-100:].mean()),
+    }))
+
+
+def cmd_train_ps(args):
+    cfg = _load(args)
+    algo = args.algo or cfg.agent.algorithm
+    from diral_tpu.train.ps_loop import run_ps
+
+    carry, logs = run_ps(cfg, algo, seed=args.seed or 0,
+                         num_episodes=args.episodes)
+    sr = np.asarray(logs["mean_sum_reward"])
+    print(json.dumps({
+        "algo": algo.lower(),
+        "episodes": int(sr.shape[0]),
+        "mean_sum_reward_first100": float(sr[:100].mean()),
+        "mean_sum_reward_last100": float(sr[-100:].mean()),
+        "final_eps": float(np.asarray(logs["eps"])[-1]),
     }))
 
 
@@ -257,6 +275,15 @@ def main(argv=None):
     common(sp)
     sp.add_argument("--episodes", type=int, default=None)
     sp.set_defaults(fn=cmd_train_ppo)
+
+    sp = sub.add_parser(
+        "train-ps",
+        help="in-process PS-DQN / PS-DRQN training on the batched env")
+    common(sp)
+    sp.add_argument("--algo", choices=["ps-dqn", "ps-drqn"], default=None,
+                    help="defaults to the config's RLAgent.algorithm")
+    sp.add_argument("--episodes", type=int, default=None)
+    sp.set_defaults(fn=cmd_train_ps)
 
     sp = sub.add_parser(
         "train-sweep",

@@ -154,3 +154,129 @@ def test_ps_drqn_trains():
         np.asarray(jax.tree.leaves(l2.params)[0]),
         np.asarray(jax.tree.leaves(learner.params)[0]),
     )
+
+
+# ---------------------------------------------------------------------------
+# In-process vmapped training (VERDICT r3 #5): batched episode ingest must
+# BIT-equal the sequential per-agent reference ingestion, and both PS
+# loops must train end-to-end on the batched env.
+# ---------------------------------------------------------------------------
+
+
+def test_dqn_batch_ingest_equals_sequential():
+    """add_episodes_batch == A sequential add_episode calls (agent-major
+    transition order, mask/terminal convention, ring wraparound)."""
+    rng = np.random.RandomState(3)
+    A, L, D = 5, 7, 4
+    states = jnp.asarray(rng.randn(A, L, D), jnp.float32)
+    actions = jnp.asarray(rng.randint(0, 3, (A, L)), jnp.int32)
+    rewards = jnp.asarray(rng.randn(A, L), jnp.float32)
+    done = jnp.asarray([False, True, False, True, False])
+
+    cap = 24  # < A*L: exercises wraparound
+    seq = TransitionReplay.create(cap, D)
+    for i in range(A):
+        seq = psdqn.add_episode(seq, states[i], actions[i], rewards[i],
+                                done[i])
+    batch = psdqn.add_episodes_batch(TransitionReplay.create(cap, D),
+                                     states, actions, rewards, done)
+    for field in ("states", "actions", "rewards", "terminals", "masks",
+                  "head", "count"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(seq, field)),
+            np.asarray(getattr(batch, field)), err_msg=field)
+
+
+def test_ps_drqn_batch_ingest_equals_sequential():
+    rng = np.random.RandomState(4)
+    A, L, D, E = 4, 6, 3, 6
+    states = jnp.asarray(rng.randn(A, L, D), jnp.float32)
+    actions = jnp.asarray(rng.randint(0, 3, (A, L)), jnp.int32)
+    rewards = jnp.asarray(rng.randn(A, L), jnp.float32)
+    done = jnp.asarray([True, False, True, False])
+    lengths = jnp.asarray([L, L - 2, L, L - 1], jnp.int32)
+
+    seq = ps_drqn.EpisodeReplay.create(E, L, D)
+    for i in range(A):
+        seq = seq.add_episode(states[i], actions[i], rewards[i], done[i],
+                              lengths[i])
+    batch = ps_drqn.EpisodeReplay.create(E, L, D).add_episodes_batch(
+        states, actions, rewards, done, lengths)
+    for field in ("states", "actions", "rewards", "terminals", "lengths",
+                  "ptr", "count"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(seq, field)),
+            np.asarray(getattr(batch, field)), err_msg=field)
+
+
+def _ps_loop_cfg(users=2, channels=2, envs=4, layers=(32,)):
+    base = toy_4ue_3r(save_positions=False, memory_size=4096)
+    env = dataclasses.replace(base.env, num_users=users,
+                              num_channels=channels)
+    agent = dataclasses.replace(
+        base.agent, batch_size=64, target_update=50, training_freq=1,
+        eps_decay=0.99, learning_rate=3e-4, unroll_step=4,
+        network=dataclasses.replace(base.agent.network,
+                                    use_lstm_input=False, layers=layers),
+    )
+    return dataclasses.replace(
+        base, env=env, agent=agent,
+        engine=dataclasses.replace(base.engine, num_envs=envs))
+
+
+def test_ps_dqn_inprocess_loop_smoke():
+    from diral_tpu.train.ps_loop import run_ps
+
+    cfg = _ps_loop_cfg()
+    carry, logs = run_ps(cfg, "ps-dqn", seed=0, num_episodes=12)
+    sr = np.asarray(logs["mean_sum_reward"])
+    assert sr.shape == (12,) and np.isfinite(sr).all()
+    assert np.isfinite(np.asarray(logs["loss"])).all()
+    # eps decays once per episode ADVANCE (driver semantics,
+    # policies.py:45-63): episodes 0..11 -> 11 decays
+    expect = max(cfg.agent.eps_init * cfg.agent.eps_decay ** 11,
+                 cfg.agent.eps_min)
+    np.testing.assert_allclose(float(logs["eps"][-1]), expect, rtol=1e-5)
+    # the replay actually filled: A*L transitions per episode
+    assert int(carry.replay.count) == min(
+        cfg.memory_size,
+        12 * cfg.engine.num_envs * cfg.env.num_users * cfg.episode_interval)
+
+
+def test_ps_drqn_inprocess_loop_smoke():
+    from diral_tpu.train.ps_loop import run_ps
+
+    cfg = _ps_loop_cfg()
+    carry, logs = run_ps(cfg, "ps-drqn", seed=0, num_episodes=8)
+    sr = np.asarray(logs["mean_sum_reward"])
+    assert sr.shape == (8,) and np.isfinite(sr).all()
+    assert np.isfinite(np.asarray(logs["loss"])).all()
+    # carried hidden state is live (non-zero after rollout) and per-agent
+    h = np.asarray(carry.hidden)
+    assert h.shape[0] == cfg.engine.num_envs * cfg.env.num_users
+    assert np.abs(h).max() > 0
+
+
+def test_ps_dqn_inprocess_learns():
+    """The in-process PS-DQN loop must learn 2-user/2-channel coordination
+    (optimal mean sum reward 2.0) -- the same bar the DRQN and PPO loops
+    clear in their learner tests."""
+    from diral_tpu.train.ps_loop import run_ps
+
+    cfg = _ps_loop_cfg(envs=8)
+    carry, logs = run_ps(cfg, "ps-dqn", seed=0, num_episodes=260)
+    sr = np.asarray(logs["mean_sum_reward"])
+    early, late = sr[:30].mean(), sr[-30:].mean()
+    assert late > early + 0.3, f"no learning: early={early:.2f} late={late:.2f}"
+    assert late > 1.3, f"late reward too low: {late:.2f} (optimal 2.0)"
+
+
+def test_ps_drqn_inprocess_learns():
+    from diral_tpu.train.ps_loop import run_ps
+
+    cfg = _ps_loop_cfg(envs=8)
+    carry, logs = run_ps(cfg, "ps-drqn", seed=1, num_episodes=200)
+    sr = np.asarray(logs["mean_sum_reward"])
+    early, late = sr[:25].mean(), sr[-25:].mean()
+    assert late > early + 0.3, f"no learning: early={early:.2f} late={late:.2f}"
+    assert late > 1.3, f"late reward too low: {late:.2f} (optimal 2.0)"
