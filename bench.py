@@ -21,6 +21,7 @@ from diral_tpu.config import toy_4ue_3r
 from diral_tpu.envs import v2v_env as E
 
 BASELINE_STEPS_PER_SEC = 1.0e6
+HBM_PEAK_GBS = 819.0  # TPU v5e HBM bandwidth
 NUM_ENVS = 8192
 # Stall-proofing (round-3): one timed run must be >= ~1 s of DEVICE work so
 # the axon tunnel's per-dispatch latency (measured 10-90 ms, occasionally
@@ -143,6 +144,22 @@ def main():
     log(f"headline: median {best:,.0f}, best {max(rates):,.0f}, "
         f"spread {spread:.2f}x over {r} runs")
 
+    # VERDICT r3 #6: the 80M number against an actual hardware bound
+    try:
+        a_sh = jax.ShapeDtypeStruct((NUM_ENVS, cfg.num_users), jnp.int32)
+        _, obs_s, rew_s = jax.eval_shape(
+            lambda s, a: jax.vmap(
+                lambda si, ai: E.step_collision(cfg, si, ai, 0))(s, a),
+            state, a_sh)
+        sv_s = jax.eval_shape(
+            lambda s, o, a, r_: jax.vmap(
+                lambda si, oi, ai, ri: E.obtain_state(cfg, si, oi, ai, ri)
+            )(s, o, a, r_), state, obs_s, a_sh, rew_s)
+        report_env_hbm_bound(state, (obs_s, sv_s, rew_s), NUM_ENVS, best,
+                             "engine (toy)")
+    except Exception as e:
+        log("env HBM-bound estimate unavailable:", repr(e))
+
     train_rate = train_rate_bf16 = None
     try:
         bench_kernel_parity()
@@ -176,6 +193,38 @@ def main():
     if train_rate_bf16 is not None:
         out["train_slots_per_sec_bf16"] = round(train_rate_bf16, 1)
     print(json.dumps(out))
+
+
+def report_env_hbm_bound(state, outputs, num_envs: int, rate: float,
+                         label: str):
+    """Hardware context for the env-steps/s headline (VERDICT r3 #6): the
+    analytic per-slot traffic FLOOR -- EnvState read + written once plus
+    the obs / state-vector / reward outputs written once, in logical bytes
+    (the information-theoretic minimum any implementation must move; the
+    physical layout can only add to it) -- against HBM peak.  If the
+    achieved floor bandwidth is a small fraction of peak, the engine is
+    NOT memory-bound and the remaining gap is compute/fusion/layout, which
+    the verdict line states explicitly."""
+    import numpy as _np
+
+    sz = lambda l: int(_np.prod(l.shape)) * jnp.dtype(l.dtype).itemsize
+    logical = sum(sz(l) for l in jax.tree.leaves(state))
+    out_logical = sum(sz(l) for l in jax.tree.leaves(outputs))
+    # floor: read state + write state + write outputs, once per slot
+    slot_logical = 2 * logical + out_logical
+    slots_per_sec = rate / num_envs
+    bw = slot_logical * slots_per_sec / 1e9
+    pct = bw / HBM_PEAK_GBS
+    if pct >= 0.5:
+        verdict = f"HBM-bandwidth-bound ({pct:.0%} of peak at the floor)"
+    else:
+        verdict = (f"NOT bandwidth-bound ({pct:.0%} of peak at the floor): "
+                   f"the remaining gap is compute/fusion/layout, with "
+                   f"{1 / max(pct, 1e-9):.1f}x headroom to a pure-"
+                   f"bandwidth speed-of-light")
+    log(f"{label} HBM bound: {slot_logical / num_envs:,.0f} B/env-step "
+        f"logical floor x {rate:,.0f} env-steps/s -> {bw:.0f} GB/s of "
+        f"~{HBM_PEAK_GBS:.0f} GB/s peak -> {verdict}")
 
 
 def bench_kernel_parity(n: int = 100, c: int = 50):
@@ -362,6 +411,20 @@ def bench_scale(num_envs: int = 2048, chunk: int = 32):
     rate = sorted(rates)[1]
     log(f"scale (100v/50r, B={num_envs}): {rate:,.0f} "
         f"env-steps/s ({rate * cfg.num_users:,.0f} agent-steps/s)")
+    try:
+        a_sh = jax.ShapeDtypeStruct((num_envs, cfg.num_users), jnp.int32)
+        _, obs_s, rew_s = jax.eval_shape(
+            lambda s, a: jax.vmap(
+                lambda si, ai: E.step_channel(cfg, si, ai, 0))(s, a),
+            state, a_sh)
+        sv_s = jax.eval_shape(
+            lambda s, o, a, r_: jax.vmap(
+                lambda si, oi, ai, ri: E.obtain_state(cfg, si, oi, ai, ri)
+            )(s, o, a, r_), state, obs_s, a_sh, rew_s)
+        report_env_hbm_bound(state, (obs_s, sv_s, rew_s), num_envs, rate,
+                             "engine (scale)")
+    except Exception as e:
+        log("env HBM-bound estimate unavailable:", repr(e))
 
 
 def bench_train_loop(num_envs: int = 256, chunk: int = 5000,

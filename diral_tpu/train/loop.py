@@ -103,6 +103,32 @@ def _bottom_k_two_stage(scores2d, k: int):
                         None)
 
 
+def sampler_collective_bytes(cfg: ExperimentConfig, dtype_bytes: int = 4):
+    """Projected per-train-event collective volume of the cross-env window
+    sample under a data-sharded mesh (VERDICT r3 #7).
+
+    GSPMD serves the cross-env gather with masked partial gathers on each
+    shard plus ONE all-reduce of the gathered batch (verified against the
+    compiled HLO in tests/test_sharding.py) -- the wire cost scales with
+    ``n_batch * batch_size`` windows, NOT with the replay size.  Because
+    that all-reduce leaves the batch replicated, every device computes
+    identical gradients locally and the sampler's collective double-duties
+    as the gradient sync (no separate param-sized all-reduce appears in
+    the HLO).  A ring all-reduce moves ~2*(k-1)/k ~ 2x the payload per
+    device, amortized once per ``episode_interval`` slots."""
+    acfg, env = cfg.agent, cfg.env
+    step = acfg.step_size if acfg.network.use_lstm_input else 1
+    gathered_elems = (acfg.n_batch * acfg.batch_size * (step + 1)
+                      * env.num_users * (env.state_space + 2))
+    payload = gathered_elems * dtype_bytes
+    return {
+        "gathered_elems": int(gathered_elems),
+        "bytes_per_event": int(payload),
+        "ring_bytes_per_device_per_event": int(2 * payload),
+        "bytes_per_slot": payload / cfg.episode_interval,
+    }
+
+
 def _gather_flat_windows(replay: FusedWindowReplay, keys, batch: int,
                          step: int):
     """``n`` independent uniform window draws across the env axis, one

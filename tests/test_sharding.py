@@ -178,6 +178,50 @@ def test_mesh_from_spec_validation():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 fake devices")
+def test_sampler_collective_lowering_and_volume():
+    """VERDICT r3 #7: the DP communication cost of the cross-env window
+    sampler, pinned at the HLO level.  Under a data-sharded mesh GSPMD
+    must serve the cross-env gather with masked partial gathers + ONE
+    all-reduce of the GATHERED BATCH (n_batch*batch windows) -- never an
+    all-gather/all-reduce of the full replay buffer, which would scale
+    with memory_size instead of batch_size.  The projected bytes from
+    loop.sampler_collective_bytes must match the all-reduce operand
+    actually emitted."""
+    import re
+
+    from diral_tpu.train.loop import sampler_collective_bytes
+
+    cfg = tiny_cfg(num_envs=8)
+    cfg = dataclasses.replace(
+        cfg, agent=dataclasses.replace(cfg.agent, n_batch=2))
+    init_carry, slot_step, _ = make_train_functions(cfg, jnp.float32)
+    episode_step = slot_step.episode_step
+    carry0 = jax.jit(init_carry)(jax.random.PRNGKey(0))
+    mesh = make_mesh(8)
+    with mesh:
+        sh = carry_shardings(carry0, mesh)
+        txt = (jax.jit(episode_step, in_shardings=(sh, None),
+                       out_shardings=(sh, None))
+               .lower(carry0, jnp.asarray(1)).compile().as_text())
+
+    # every f32 all-reduce operand, as element counts
+    ars = [np.prod([int(d) for d in re.findall(r"\d+", dims)])
+           for dims in re.findall(r"all-reduce[^=]*= \(?f32\[([\d,]*)\]", txt)]
+    acc = sampler_collective_bytes(cfg)
+    want_elems = acc["gathered_elems"]
+    assert want_elems in ars, (ars, want_elems)
+    # nothing replay-sized crosses the wire: the largest collective is the
+    # gathered batch, orders below the [B, S, N*(D+2)] buffer
+    replay_elems = (cfg.engine.num_envs * cfg.memory_size
+                    * cfg.env.num_users * (cfg.env.state_space + 2))
+    assert max(ars) < replay_elems / 4
+    # no all-gather of anything replay-sized either
+    ags = [np.prod([int(d) for d in re.findall(r"\d+", dims)])
+           for dims in re.findall(r"all-gather[^=]*= \(?f32\[([\d,]*)\]", txt)]
+    assert all(a < replay_elems / 4 for a in ags)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 fake devices")
 def test_graft_dryrun():
     import __graft_entry__ as g
 
