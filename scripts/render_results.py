@@ -91,6 +91,27 @@ def _seed_sweep_table() -> str:
     return "\n".join(out)
 
 
+def _campaign_table(artifact: str) -> str:
+    """Per-seed PRR distribution of a scripts/seed_campaign.py artifact
+    (round-4: the flagship configs get distributions, not single seeds)."""
+    d = _load(artifact)
+    out = ["| seed | final decile sum_r | DRQN PRR | SPS PRR | ΔPRR | slots/s |",
+           "|---|---|---|---|---|---|"]
+    for r in d["rows"]:
+        out.append(
+            f"| {r['seed']} | {r['final_decile_sum_reward']:+.2f} "
+            f"| {r['drqn_prr']:.3f} | {r['sps_prr']:.3f} "
+            f"| {r['prr_improvement']:+.1%} | {r['slots_per_sec']:.0f} |")
+    out.append(
+        f"| **mean ± std (n={d['seeds']})** | | | | "
+        f"**{d['prr_improvement_mean']:+.1%} ± "
+        f"{d['prr_improvement_std']:.1%}** "
+        f"(min {d['prr_improvement_min']:+.1%}, "
+        f"max {d['prr_improvement_max']:+.1%}; "
+        f"{d['n_below_sps']}/{d['seeds']} below SPS) | |")
+    return "\n".join(out)
+
+
 TABLES = {
     "congested-vs-sps": lambda: _vs_sps_table("congested_full_150k.json"),
     "toy-deciles": _toy_deciles_table,
@@ -98,6 +119,9 @@ TABLES = {
     "seed-sweep": _seed_sweep_table,
     "dynamic-vs-sps": lambda: _vs_sps_table("dynamic_full_150k.json"),
     "scale-vs-sps": lambda: _vs_sps_table("scale_full_100k.json"),
+    "congested-seeds": lambda: _campaign_table("congested_seeds5.json"),
+    "dynamic-seeds": lambda: _campaign_table("dynamic_seeds5.json"),
+    "scale-seeds": lambda: _campaign_table("scale_seeds5.json"),
 }
 
 _BLOCK = re.compile(
