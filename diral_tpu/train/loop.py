@@ -243,32 +243,34 @@ def sample_window_rows_many(replay: FusedWindowReplay, keys, batch: int,
     D2 = D + 2
     Dp = padded_dim(D)
     fw = _gather_flat_windows(replay, keys, batch, step)  # [n*b, W, R]
-    nb = fw.shape[0]
     pad3 = ((0, 0), (0, 0), (0, Dp - D))
 
+    # assemble in FINAL row order (draw-major, then user-major, then the
+    # draw's batch) with slice+pad+concatenate only: the earlier
+    # stack+swapaxes regroup spelling lowered to a 0.46 ms/event fusion
+    # (the largest remaining event op); pure concat in output order is one
+    # dense fused copy
     su, nu, ru, au = [], [], [], []
-    for u in range(N):
-        o = u * D2
-        su.append(jnp.pad(fw[:, :step, o:o + D], pad3)
-                  .reshape(nb, step * Dp))
-        nu.append(jnp.pad(fw[:, 1:, o:o + D], pad3)
-                  .reshape(nb, step * Dp))
-        ru.append(fw[:, :step, o + D])
-        au.append(fw[:, :step, o + D + 1])
+    for j in range(n):
+        fj = fw[j * batch:(j + 1) * batch]
+        for u in range(N):
+            o = u * D2
+            su.append(jnp.pad(fj[:, :step, o:o + D], pad3)
+                      .reshape(batch, step * Dp))
+            nu.append(jnp.pad(fj[:, 1:, o:o + D], pad3)
+                      .reshape(batch, step * Dp))
+            ru.append(fj[:, :step, o + D])
+            au.append(fj[:, :step, o + D + 1])
 
-    def regroup(parts):
-        # [N, n, batch, ...] -> [n, N*batch, ...] (user-major per draw);
-        # leading-axis transpose only -- tile dims untouched
-        tail = parts[0].shape[1:]
-        y = jnp.stack(parts).reshape((N, n, batch) + tail)
-        y = jnp.swapaxes(y, 0, 1)
-        return y.reshape((n, N * batch) + tail)
+    def cat(parts):
+        y = jnp.concatenate(parts, axis=0)
+        return y.reshape((n, N * batch) + parts[0].shape[1:])
 
     return {
-        "states": regroup(su),
-        "next_states": regroup(nu),
-        "rewards": regroup(ru),
-        "actions": regroup(au).astype(jnp.int32),
+        "states": cat(su),
+        "next_states": cat(nu),
+        "rewards": cat(ru),
+        "actions": cat(au).astype(jnp.int32),
     }
 
 

@@ -91,6 +91,24 @@ def _seed_sweep_table() -> str:
     return "\n".join(out)
 
 
+def _serve_seeds_table() -> str:
+    """Online serve-compare seed distribution (round 4)."""
+    d = _load("serve_compare_seeds3.json")
+    out = ["| seed | DRQN tail PRR | SPS tail PRR | Δ (points) |",
+           "|---|---|---|---|"]
+    for r in d["rows"]:
+        out.append(
+            f"| {r['seed']} | {r['drqn']['mean_prr_tail']:.3f} "
+            f"| {r['sps']['mean_prr_tail']:.3f} "
+            f"| {100 * r['prr_improvement']:+.1f} |")
+    out.append(
+        f"| **mean ± std (n={len(d['rows'])})** | | | "
+        f"**{100 * d['prr_improvement_mean']:+.1f} ± "
+        f"{100 * d['prr_improvement_std']:.1f}** "
+        f"({d['n_below_sps']}/{len(d['rows'])} below SPS) |")
+    return "\n".join(out)
+
+
 def _campaign_table(artifact: str) -> str:
     """Per-seed PRR distribution of a scripts/seed_campaign.py artifact
     (round-4: the flagship configs get distributions, not single seeds)."""
@@ -122,6 +140,7 @@ TABLES = {
     "congested-seeds": lambda: _campaign_table("congested_seeds5.json"),
     "dynamic-seeds": lambda: _campaign_table("dynamic_seeds5.json"),
     "scale-seeds": lambda: _campaign_table("scale_seeds5.json"),
+    "serve-seeds": _serve_seeds_table,
 }
 
 _BLOCK = re.compile(
