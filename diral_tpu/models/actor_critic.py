@@ -32,22 +32,35 @@ def ppo_init(key, state_dim: int, action_dim: int, cfg: AgentConfig,
     return params
 
 
-def _encode(params, x, prefix, use_lstm):
+def _encode(params, x, prefix, use_lstm, impl="auto"):
     if use_lstm:
-        _, hs = lstm_scan(params[f"{prefix}_lstm"], x)
+        # same lowering policy as the DRQN net (models/qnets._lstm_last):
+        # the fused Pallas window kernel on TPU when shapes/dtype allow
+        # (its custom VJP serves PPO's encoder gradients), else the
+        # canonical XLA lstm_scan (the float64 golden-test path)
+        from diral_tpu.ops import pallas_lstm
+
+        p = params[f"{prefix}_lstm"]
+        hidden = p["w"].shape[1] // 4
+        if (impl != "xla" and pallas_lstm.supported(x.dtype, hidden)
+                and (impl == "pallas" or jax.default_backend() == "tpu")):
+            return pallas_lstm.lstm_last(x, p["w"], p["b"])
+        _, hs = lstm_scan(p, x)
         return hs[:, -1, :]
     return x
 
 
 def ppo_policy_logits(params, x, cfg: AgentConfig):
     """x: [B, T, D] (LSTM) or [B, D] -> action logits [B, A]."""
-    h = _encode(params, x, "actor", cfg.network.use_lstm_input)
+    h = _encode(params, x, "actor", cfg.network.use_lstm_input,
+                cfg.network.lstm_impl)
     h = jax.nn.relu(dense(params["actor_fc"], h))
     return dense(params["actor_head"], h)
 
 
 def ppo_value(params, x, cfg: AgentConfig):
     """-> V [B]."""
-    h = _encode(params, x, "critic", cfg.network.use_lstm_input)
+    h = _encode(params, x, "critic", cfg.network.use_lstm_input,
+                cfg.network.lstm_impl)
     h = jax.nn.relu(dense(params["critic_fc"], h))
     return dense(params["critic_head"], h)[..., 0]
