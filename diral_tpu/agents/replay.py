@@ -205,9 +205,15 @@ class FusedWindowReplay(struct.PyTreeNode):
     """``WindowReplay`` with state | reward | action fused into one row per
     slot -- the DRQN training loop's production layout.
 
-    A slot is ONE flat row of N*(D+2) lanes -- user n's channels at lane
-    offset n*(D+2): [0:D) = state, D = reward, D+1 = the action's exact
-    float image (channel ids are tiny ints).  One buffer serves all four
+    A slot is ONE flat row of N*Dp lanes, Dp = ops/pallas_lstm.padded_dim(D)
+    -- user n's channels at lane offset n*Dp: [0:D) = state, D = reward,
+    D+1 = the action's exact float image (channel ids are tiny ints),
+    [D+2:Dp) zero.  The per-user stride IS the fused LSTM kernel's
+    per-step stride, so a sampled window becomes Q-net input rows with
+    aligned slice+reshape alone (the unaligned-stride assembly cost a
+    measured 0.45 ms/event); the reward/action channels ride inside the
+    step's pad lanes, which the kernel ignores by construction (zero
+    input-weight rows).  One buffer serves all four
     sample arrays with a single gather: ``next_states`` are the ``states``
     rows shifted one slot (the ring-contiguity invariant: in an unbroken
     add chain the state stored at slot k+1 IS slot k's next_state), and
@@ -226,7 +232,7 @@ class FusedWindowReplay(struct.PyTreeNode):
     utils/memory.py:177-194.
     """
 
-    buf: jax.Array   # [S+pad, N*(D+2)]  (or [B, S+pad, N*(D+2)] vmapped)
+    buf: jax.Array   # [S+pad, N*Dp]  (or [B, S+pad, N*Dp] vmapped)
     ptr: jax.Array   # scalar int32: next write position  ([B] vmapped)
     count: jax.Array  # scalar int32: filled slots (<= capacity)
     # Mirror pad (TPU gather layout): the first ``pad`` ring slots are
@@ -238,6 +244,9 @@ class FusedWindowReplay(struct.PyTreeNode):
     # descriptor latency at the toy bench config, 33% of the train event).
     pad: int = struct.field(pytree_node=False, default=0)
     num_users: int = struct.field(pytree_node=False, default=1)
+    # state dim is stored explicitly: the lane stride is padded, so it is
+    # not derivable from the buffer shape
+    dim: int = struct.field(pytree_node=False, default=0)
 
     @property
     def capacity(self) -> int:
@@ -249,7 +258,11 @@ class FusedWindowReplay(struct.PyTreeNode):
 
     @property
     def state_dim(self) -> int:
-        return self.buf.shape[-1] // self.num_users - 2
+        return self.dim
+
+    @property
+    def user_stride(self) -> int:
+        return self.buf.shape[-1] // self.num_users
 
     # Channel ids ride the replay's float dtype (channel D+1); the id
     # range must be exactly representable in that dtype's mantissa or
@@ -281,13 +294,16 @@ class FusedWindowReplay(struct.PyTreeNode):
                 f"limit {cls.max_exact_action(dtype)}); use a wider dtype")
         if pad >= capacity:
             raise ValueError(f"mirror pad {pad} must be < capacity {capacity}")
+        from diral_tpu.ops.pallas_lstm import padded_dim
+
         return cls(
-            buf=jnp.zeros((capacity + pad, num_users * (state_dim + 2)),
-                          dtype),
+            buf=jnp.zeros((capacity + pad,
+                           num_users * padded_dim(state_dim)), dtype),
             ptr=jnp.zeros((), jnp.int32),
             count=jnp.zeros((), jnp.int32),
             pad=pad,
             num_users=num_users,
+            dim=state_dim,
         )
 
     @staticmethod
@@ -304,11 +320,15 @@ class FusedWindowReplay(struct.PyTreeNode):
         windows read past the ring end without a modulo."""
         dt = replay.buf.dtype
         cap = replay.capacity
-        row = jnp.concatenate(
-            [jnp.asarray(state, dt),
-             jnp.asarray(reward, dt)[..., None],
-             jnp.asarray(action, dt)[..., None]], axis=-1)
-        row = row.reshape(row.shape[:-2] + (-1,))  # [B, N*(D+2)] flat lanes
+        stride = replay.user_stride
+        d = replay.dim
+        parts = [jnp.asarray(state, dt),
+                 jnp.asarray(reward, dt)[..., None],
+                 jnp.asarray(action, dt)[..., None]]
+        if stride > d + 2:
+            parts.append(jnp.zeros(state.shape[:-1] + (stride - d - 2,), dt))
+        row = jnp.concatenate(parts, axis=-1)
+        row = row.reshape(row.shape[:-2] + (-1,))  # [B, N*Dp] flat lanes
         i = replay.ptr[0]
         buf = jax.lax.dynamic_update_index_in_dim(replay.buf, row, i, axis=1)
         if replay.pad:
@@ -344,6 +364,7 @@ class FusedWindowReplay(struct.PyTreeNode):
         order = (np.expand_dims(oldest, -1) + np.arange(cnt)) % cap
         buf = np.asarray(self.buf)
         buf = buf.reshape(buf.shape[:-1] + (self.num_users, -1))  # unflatten
+        buf = buf[..., :self.dim + 2]  # drop the stride pad lanes
         rows = (buf[np.arange(buf.shape[0])[:, None], order] if batched
                 else buf[order])  # [..., cnt, N, D+2] deque order
         d = self.state_dim

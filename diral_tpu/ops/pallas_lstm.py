@@ -54,8 +54,18 @@ def _round_up(x: int, m: int) -> int:
 
 def padded_dim(d: int) -> int:
     """Per-step lane stride of the flat window layout (dtype-independent,
-    so float32 and bfloat16 carries share one layout)."""
-    return _round_up(d, 16)
+    so float32 and bfloat16 carries share one layout).
+
+    Sized to ``round_up(d + 2, 16)``: 16-multiple strides keep bf16 tile
+    packing legal and every slice aligned, and the +2 leaves room for the
+    replay's fused reward/action channels to ride INSIDE a step's pad
+    lanes -- the replay stores each user's slot at this same stride, so a
+    sampled window is a pure aligned slice+reshape away from the kernel's
+    input layout (the unaligned-stride assembly cost a measured 0.45
+    ms/event).  Pad lanes need NOT be zero: they meet zero rows of the
+    padded input-weight matrix, so the forward ignores them and their dx
+    is exactly zero either way."""
+    return _round_up(d + 2, 16)
 
 
 def _mxu_dot(a, b_mat):

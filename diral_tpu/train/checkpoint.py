@@ -118,6 +118,8 @@ def _to_current_layout(carry, target_replay):
 
     from diral_tpu.agents.replay import FusedWindowReplay, WindowReplay
 
+    from diral_tpu.ops.pallas_lstm import padded_dim
+
     old = carry.replay
     pad, N = target_replay.pad, target_replay.num_users
     if isinstance(old, WindowReplay):
@@ -128,12 +130,16 @@ def _to_current_layout(carry, target_replay):
     else:
         buf4 = old.buf
     B, S = buf4.shape[0], buf4.shape[1]
+    D = carry.state.shape[-1]
+    stride = padded_dim(D)
+    if buf4.shape[-1] < stride:  # pad user rows to the kernel stride
+        buf4 = jnp.pad(
+            buf4, ((0, 0),) * 3 + ((0, stride - buf4.shape[-1]),))
     buf = buf4.reshape(B, S, -1)             # flat rows
     if pad:
         buf = jnp.concatenate([buf, buf[:, :pad]], axis=1)
     replay = FusedWindowReplay(buf=buf, ptr=old.ptr, count=old.count,
-                               pad=pad, num_users=N)
-    D = carry.state.shape[-1]
+                               pad=pad, num_users=N, dim=D)
     return carry.replace(replay=replay,
                          history=_flatten_history(carry.history, D))
 

@@ -116,10 +116,12 @@ def sampler_collective_bytes(cfg: ExperimentConfig, dtype_bytes: int = 4):
     as the gradient sync (no separate param-sized all-reduce appears in
     the HLO).  A ring all-reduce moves ~2*(k-1)/k ~ 2x the payload per
     device, amortized once per ``episode_interval`` slots."""
+    from diral_tpu.ops.pallas_lstm import padded_dim
+
     acfg, env = cfg.agent, cfg.env
     step = acfg.step_size if acfg.network.use_lstm_input else 1
     gathered_elems = (acfg.n_batch * acfg.batch_size * (step + 1)
-                      * env.num_users * (env.state_space + 2))
+                      * env.num_users * padded_dim(env.state_space))
     payload = gathered_elems * dtype_bytes
     return {
         "gathered_elems": int(gathered_elems),
@@ -144,12 +146,13 @@ def _gather_flat_windows(replay: FusedWindowReplay, keys, batch: int,
     one CONTIGUOUS slice, so the gather moves n*batch whole-window
     descriptors instead of n*batch*(step+1) single-row descriptors
     (measured 1.1 ms/event of descriptor latency); rows are flat
-    [N*(D+2)] lane vectors, so nothing in the chain materializes the
-    ~5x-padded [.., N, D+2] tile layout; and all n batches ride ONE
+    [N*Dp] lane vectors at the Q-net kernel's per-step stride, so nothing
+    in the chain materializes the ~5x-padded [.., N, D+2] tile layout and
+    the repack is aligned slice+reshape; and all n batches ride ONE
     gather (the draws are param-independent, so nothing serializes
     against the gradient steps).
 
-    Returns fw [n*batch, step+1, N*(D+2)] (the optimization barrier pins
+    Returns fw [n*batch, step+1, N*Dp] (the optimization barrier pins
     downstream dtype converts to the gathered batch -- without it XLA
     hoists the Q-net's bf16 convert through the gather onto the whole
     replay buffer, measured 1.4 ms/event)."""
@@ -209,9 +212,9 @@ def sample_windows_cross_env_many(replay: FusedWindowReplay, keys, batch: int,
     [.., N, D] tile layout)."""
     n = keys.shape[0]
     N = replay.num_users
+    d = replay.state_dim
     fw = _gather_flat_windows(replay, keys, batch, step)
-    fw = fw.reshape((n, batch, step + 1, N, -1))
-    d = fw.shape[-1] - 2
+    fw = fw.reshape((n, batch, step + 1, N, -1))  # last dim = user stride
     return {
         "states": fw[:, :, :step, :, :d],
         "actions": fw[:, :, :step, :, d + 1].astype(jnp.int32),
@@ -240,27 +243,27 @@ def sample_window_rows_many(replay: FusedWindowReplay, keys, batch: int,
     n = keys.shape[0]
     N = replay.num_users
     D = replay.state_dim
-    D2 = D + 2
     Dp = padded_dim(D)
-    fw = _gather_flat_windows(replay, keys, batch, step)  # [n*b, W, R]
-    pad3 = ((0, 0), (0, 0), (0, Dp - D))
+    assert replay.user_stride == Dp, (replay.user_stride, Dp)
+    fw = _gather_flat_windows(replay, keys, batch, step)  # [n*b, W, N*Dp]
 
-    # assemble in FINAL row order (draw-major, then user-major, then the
-    # draw's batch) with slice+pad+concatenate only: the earlier
-    # stack+swapaxes regroup spelling lowered to a 0.46 ms/event fusion
-    # (the largest remaining event op); pure concat in output order is one
-    # dense fused copy
+    # The replay's per-user stride IS the kernel's per-step stride, so a
+    # user's window is an ALIGNED lane slice whose flat reshape is already
+    # the Q-net input row -- the reward/action channels ride in the step's
+    # pad lanes, which the kernel ignores by construction (zero
+    # input-weight rows, zero dx).  Assemble in FINAL row order
+    # (draw-major, user-major, batch) with slice+reshape+concat only; the
+    # earlier unaligned-stride pad+concat assembly cost 0.45 ms/event.
     su, nu, ru, au = [], [], [], []
     for j in range(n):
         fj = fw[j * batch:(j + 1) * batch]
         for u in range(N):
-            o = u * D2
-            su.append(jnp.pad(fj[:, :step, o:o + D], pad3)
-                      .reshape(batch, step * Dp))
-            nu.append(jnp.pad(fj[:, 1:, o:o + D], pad3)
-                      .reshape(batch, step * Dp))
-            ru.append(fj[:, :step, o + D])
-            au.append(fj[:, :step, o + D + 1])
+            o = u * Dp
+            win = fj[:, :, o:o + Dp]                      # [b, W, Dp]
+            su.append(win[:, :step].reshape(batch, step * Dp))
+            nu.append(win[:, 1:].reshape(batch, step * Dp))
+            ru.append(win[:, :step, D])
+            au.append(win[:, :step, D + 1])
 
     def cat(parts):
         y = jnp.concatenate(parts, axis=0)

@@ -188,7 +188,8 @@ def test_sampler_shift_trick_exact():
     if replay.pad:
         np.testing.assert_array_equal(full[:, S:], full[:, :replay.pad])
     buf = full[:, :S].reshape(B, S, replay.num_users, -1)
-    D = buf.shape[-1] - 2
+    D = replay.state_dim  # the user stride carries pad lanes past D+2
+    np.testing.assert_array_equal(buf[..., D + 2:], 0.0)
     states, rewards = buf[..., :D], buf[..., D]
     actions = buf[..., D + 1].astype(np.int32)
     valid = replay.count[0] - step
@@ -306,7 +307,12 @@ def test_sample_rows_match_repack():
         s, a, r, ns = drqn.repack_user_major(batch_j, N, use_lstm=True)
         got_s = np.asarray(rows["states"][j]).reshape(N * batch, T, Dp)
         np.testing.assert_array_equal(got_s[..., :D], np.asarray(s))
-        np.testing.assert_array_equal(got_s[..., D:], 0.0)  # pad lanes
+        # the per-step pad lanes carry the slot's reward/action channels
+        # (ignored by the kernel's zero weight rows), then zeros
+        np.testing.assert_array_equal(got_s[..., D], np.asarray(r))
+        np.testing.assert_array_equal(got_s[..., D + 1].astype(np.int32),
+                                      np.asarray(a))
+        np.testing.assert_array_equal(got_s[..., D + 2:], 0.0)
         got_ns = np.asarray(rows["next_states"][j]).reshape(N * batch, T, Dp)
         np.testing.assert_array_equal(got_ns[..., :D], np.asarray(ns))
         np.testing.assert_array_equal(np.asarray(rows["actions"][j]),

@@ -79,7 +79,8 @@ def _legacy_views(carry):
     fused = carry.replay
     N, d = fused.num_users, fused.state_dim
     core = fused.buf[:, :fused.capacity].reshape(
-        fused.buf.shape[0], fused.capacity, N, d + 2)
+        fused.buf.shape[0], fused.capacity, N,
+        fused.user_stride)[..., :d + 2]  # drop the stride pad lanes
     D = carry.state.shape[-1]
     Dp = padded_dim(D)
     B, _, L = carry.history.shape
