@@ -256,6 +256,8 @@ def _fwd_dual_kernel(x_ref, wxa_ref, wha_ref, ba_ref,
 
 def _fwd_dual_impl(x2, wa, ba, wb, bb, T: int, Dp: int):
     _, L = x2.shape
+    assert L == T * Dp, (L, T, Dp)
+    assert wa.shape == wb.shape, (wa.shape, wb.shape)
     H = wa.shape[1] // 4
     D = wa.shape[0] - H
     bt = _fwd_tile(x2.shape[0])

@@ -102,7 +102,7 @@ def _legacy_fused4d_template(carry_template):
         buf=jnp.zeros((B, S, N, D + 2), r.buf.dtype),
         ptr=jnp.zeros((B,), jnp.int32),
         count=jnp.zeros((B,), jnp.int32),
-        pad=0, num_users=N,
+        pad=0, num_users=N, dim=D,
     )
     hist, _ = _legacy_history(carry_template)
     return carry_template.replace(replay=legacy, history=hist)

@@ -59,7 +59,7 @@ class TrainCarry(struct.PyTreeNode):
     # input a zero-copy reshape and the slot update a lane roll.
     history: jax.Array             # [B, N, T*Dp]
     state: jax.Array               # [B, N, D]
-    replay: FusedWindowReplay      # batched [B, S, N, D+2]
+    replay: FusedWindowReplay      # flat mirror-padded [B, S+pad, N*Dp]
     learner: drqn.DRQNLearner      # shared across envs
     eps_state: pol.EpsGreedyState
     beta: jax.Array                # scalar; boltzman anneal state (unused otherwise)

@@ -17,10 +17,16 @@ Reference semantics per episode boundary:
 * PS-DRQN: one episode per agent into the episode ring (capacity = number
   of agents, matching the reference's memory_size=num_users deque,
   ps_drqn.py:109-111); length-weighted window training (ps_drqn.py:307-405)
-  with ``n_batches = training_freq * agents * L / batch_size`` window
-  batches.  The rollout carries the per-agent GRU hidden across slots AND
-  across episodes (the reference never resets _agent_states between
-  episodes, ps_drqn.py:168-193).
+  with ``n_batches = train_freq * added / (batch_size * (unroll_step -
+  skip_error))`` window batches (ps_drqn.py:333,345 — each batch consumes
+  batch_size WINDOWS of unroll_step transitions, so the added count is
+  divided by the window span, not the transition count).  The rollout
+  carries the per-agent GRU hidden across slots AND across episodes (the
+  reference never resets _agent_states between episodes, ps_drqn.py:168-193).
+
+Both references skip the train call entirely when n_batches == 0
+(ps_dqn.py:315-316, ps_drqn.py:333-335); we match that statically (the
+added count per episode is a trace-time constant here).
 
 Both loops use the driver's eps-greedy schedule (eps decays once per
 episode, policies.py:45-63) and raw env rewards (the driver-level shaping
@@ -73,9 +79,15 @@ def make_ps_functions(cfg: ExperimentConfig, algo: str, dtype=jnp.float32):
                       in_axes=(0, 0, None))
     v_obtain = jax.vmap(lambda s, o, a, r: E.obtain_state(env_cfg, s, o, a, r))
 
-    # n_batches per train call: training_freq * added / batch_size
-    # (ps_dqn.py:315; the PS-DRQN driver analog over window batches)
-    n_batches = max(1, (acfg.training_freq * A * L) // acfg.batch_size)
+    # n_batches per train call: PS-DQN divides the added transition count
+    # by batch_size (ps_dqn.py:315); PS-DRQN divides by the WINDOW span
+    # batch_size*(unroll_step-skip_error) because one batch consumes
+    # batch_size windows (ps_drqn.py:333,345).  Both skip training when 0.
+    if recurrent:
+        denom = acfg.batch_size * (acfg.unroll_step - acfg.network.skip_error)
+    else:
+        denom = acfg.batch_size
+    n_batches = (acfg.training_freq * A * L) // denom
 
     def init_carry(key) -> PSCarry:
         k_env, k_act, k_net, k_carry = jax.random.split(key, 4)
@@ -135,13 +147,19 @@ def make_ps_functions(cfg: ExperimentConfig, algo: str, dtype=jnp.float32):
             replay = carry.replay.add_episodes_batch(
                 ep_states, ep_actions, ep_rewards, never_done,
                 jnp.full((A,), L, jnp.int32))
-            learner, loss = ps_drqn.train(carry.learner, replay, k_train,
-                                          acfg, n_batches)
+            if n_batches > 0:
+                learner, loss = ps_drqn.train(carry.learner, replay, k_train,
+                                              acfg, n_batches)
+            else:  # reference returns (0, 0) without training, ps_drqn.py:333-335
+                learner, loss = carry.learner, jnp.zeros((), dtype)
         else:
             replay = dqn.add_episodes_batch(
                 carry.replay, ep_states, ep_actions, ep_rewards, never_done)
-            learner, loss = dqn.train(carry.learner, replay, k_train,
-                                      acfg, n_batches)
+            if n_batches > 0:
+                learner, loss = dqn.train(carry.learner, replay, k_train,
+                                          acfg, n_batches)
+            else:  # reference returns (0, 0) without training, ps_dqn.py:315-316
+                learner, loss = carry.learner, jnp.zeros((), dtype)
         carry = PSCarry(env_state=env_state, state=state, hidden=hidden,
                         learner=learner, replay=replay,
                         eps_state=eps_state, key=key)
