@@ -121,6 +121,71 @@ def evaluate_drqn(cfg: ExperimentConfig, learner, key, steps: int = 500,
     return jax.tree.map(float, run((env_state, history, (), k_run), steps))
 
 
+def evaluate_ppo(cfg: ExperimentConfig, learner, key, steps: int = 500,
+                 dtype=jnp.float32):
+    """Greedy (argmax-logit) rollout of a trained PS-PPO actor -- the PPO
+    analog of ``evaluate_drqn``, holding the PPO slice to the reference's
+    PRR-vs-SPS claim frame (README.md:5).  The stochastic policy is
+    evaluated at its mode, matching the DRQN comparisons' greedy band
+    (main_test.py:129-136)."""
+    from diral_tpu.models import actor_critic as ac
+
+    env_cfg, acfg = cfg.env, cfg.agent
+    B, N, D, T = (cfg.engine.num_envs, env_cfg.num_users,
+                  env_cfg.state_space, acfg.step_size)
+    use_lstm = acfg.network.use_lstm_input
+    k_env, k_run = jax.random.split(key)
+    env_state = jax.vmap(lambda k: E.reset(env_cfg, k, dtype))(
+        jax.random.split(k_env, B)
+    )
+    history = jnp.zeros((B, T, N, D), dtype)
+
+    def act(actor, env_state, history, k, t):
+        if use_lstm:
+            x = jnp.transpose(history, (0, 2, 1, 3)).reshape(B * N, T, D)
+        else:
+            x = history[:, -1].reshape(B * N, D)
+        logits = ac.ppo_policy_logits(learner.params, x, acfg)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32).reshape(B, N), actor
+
+    run = jax.jit(partial(_rollout_metrics, cfg, act), static_argnums=(1,))
+    return jax.tree.map(float, run((env_state, history, (), k_run), steps))
+
+
+def evaluate_ps(cfg: ExperimentConfig, learner, key, steps: int = 500,
+                algo: str = "ps-dqn", dtype=jnp.float32):
+    """Greedy rollout of a trained PS-DQN / PS-DRQN learner.  PS agents act
+    on the CURRENT state (ps_dqn.py:200-235 feeds one observation, not a
+    window); PS-DRQN carries the per-agent GRU hidden across slots
+    (ps_drqn.py:195-231) -- the hidden rides the actor carry here, starting
+    from zeros like a fresh serving session."""
+    from diral_tpu.agents import ps_drqn as ps_drqn_mod
+
+    env_cfg, acfg = cfg.env, cfg.agent
+    B, N, D, T = (cfg.engine.num_envs, env_cfg.num_users,
+                  env_cfg.state_space, acfg.step_size)
+    recurrent = algo.lower().replace("_", "-") == "ps-drqn"
+    k_env, k_run = jax.random.split(key)
+    env_state = jax.vmap(lambda k: E.reset(env_cfg, k, dtype))(
+        jax.random.split(k_env, B)
+    )
+    history = jnp.zeros((B, T, N, D), dtype)
+
+    def act(actor, env_state, history, k, t):
+        obs = history[:, -1].reshape(B * N, D)
+        if recurrent:
+            q, hidden = qnets.ps_drqn_apply_step(learner.params, obs, actor,
+                                                 acfg)
+            return jnp.argmax(q, axis=1).astype(jnp.int32).reshape(B, N), hidden
+        q = qnets.ps_dqn_apply(learner.params, obs, acfg)
+        return jnp.argmax(q, axis=1).astype(jnp.int32).reshape(B, N), actor
+
+    actor0 = (ps_drqn_mod.init_hidden(acfg, B * N, dtype) if recurrent
+              else ())
+    run = jax.jit(partial(_rollout_metrics, cfg, act), static_argnums=(1,))
+    return jax.tree.map(float, run((env_state, history, actor0, k_run), steps))
+
+
 def evaluate_sps(cfg: ExperimentConfig, key, steps: int = 500,
                  rssi_threshold: float = -110.0, dtype=jnp.float32):
     """SPS baseline rollout on the same env family, sensing last slot's
@@ -162,4 +227,31 @@ def compare_drqn_vs_sps(cfg: ExperimentConfig, learner, key, steps: int = 500):
         "drqn": drqn_m,
         "sps": sps_m,
         "prr_improvement": drqn_m["mean_prr"] / max(sps_m["mean_prr"], 1e-9) - 1.0,
+    }
+
+
+def compare_ppo_vs_sps(cfg: ExperimentConfig, learner, key, steps: int = 500):
+    """PRR-vs-SPS for the trained PPO actor (the same claim frame as
+    ``compare_drqn_vs_sps``; the reference README.md:5 scopes its +20%
+    claim as 'DIRAL beats SPS', so every trained flavor is held to it)."""
+    k1, k2 = jax.random.split(key)
+    ppo_m = evaluate_ppo(cfg, learner, k1, steps)
+    sps_m = evaluate_sps(cfg, k2, steps)
+    return {
+        "ppo": ppo_m,
+        "sps": sps_m,
+        "prr_improvement": ppo_m["mean_prr"] / max(sps_m["mean_prr"], 1e-9) - 1.0,
+    }
+
+
+def compare_ps_vs_sps(cfg: ExperimentConfig, learner, key, steps: int = 500,
+                      algo: str = "ps-dqn"):
+    """PRR-vs-SPS for a trained PS-DQN / PS-DRQN learner."""
+    k1, k2 = jax.random.split(key)
+    ps_m = evaluate_ps(cfg, learner, k1, steps, algo=algo)
+    sps_m = evaluate_sps(cfg, k2, steps)
+    return {
+        algo.replace("-", "_"): ps_m,
+        "sps": sps_m,
+        "prr_improvement": ps_m["mean_prr"] / max(sps_m["mean_prr"], 1e-9) - 1.0,
     }
