@@ -160,10 +160,10 @@ def main():
     except Exception as e:
         log("env HBM-bound estimate unavailable:", repr(e))
 
-    train_rate = train_rate_bf16 = None
+    train_rate = train_rate_bf16 = scale_rate = None
     try:
         bench_kernel_parity()
-        bench_scale()
+        scale_rate = bench_scale()
         train_rate = bench_train_loop()
         train_rate_bf16 = bench_train_loop(compute_dtype="bfloat16",
                                            split=False)
@@ -188,11 +188,34 @@ def main():
         "spread": round(spread, 3),
         "dispatch_latency_ms": round(dispatch_ms, 1),
     }
+    if scale_rate is not None:
+        out["scale_env_steps_per_sec"] = round(scale_rate, 1)
     if train_rate is not None:
         out["train_slots_per_sec"] = round(train_rate, 1)
     if train_rate_bf16 is not None:
         out["train_slots_per_sec_bf16"] = round(train_rate_bf16, 1)
     print(json.dumps(out))
+    # Persist the capture: render_results.py regenerates the README /
+    # RESULTS throughput rows from this artifact (round-5 VERDICT #8 --
+    # no hand-typed headline numbers), keeping best-ever as an annotated
+    # secondary sourced from the same file's history field.
+    try:
+        import os
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "results", "bench_latest.json")
+        hist = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                hist = json.load(f).get("best_ever", {})
+        for k in ("value", "scale_env_steps_per_sec", "train_slots_per_sec",
+                  "train_slots_per_sec_bf16"):
+            if out.get(k) is not None:
+                hist[k] = max(hist.get(k, 0), out[k])
+        with open(path, "w") as f:
+            json.dump({"capture": out, "best_ever": hist,
+                       "captured_unix": int(time.time())}, f, indent=1)
+    except Exception as e:
+        log("bench_latest.json write failed:", repr(e))
 
 
 def report_env_hbm_bound(state, outputs, num_envs: int, rate: float,
@@ -362,10 +385,49 @@ def bench_kernel_parity(n: int = 100, c: int = 50):
             log(f"KERNEL PARITY FAILURE (lstm_last compiled pallas vs xla "
                 f"{nm}): max|d|/max={_np.max(_np.abs(a - b_)) / sc:.3e}")
 
+    # Triple kernel (the fused train-step forward bundle): compiled
+    # Mosaic path must BIT-equal the single fwd + dual kernels it fuses
+    # (identical arithmetic by construction -- any deviation is a compiled
+    # layout/accumulation bug), and its VJP must bit-equal the single
+    # kernel's on the shared first T*Dp lanes.
+    from diral_tpu.ops.pallas_lstm import (flatten_window, lstm_last_flat,
+                                           lstm_last_flat_dual,
+                                           lstm_last_flat_triple, padded_dim)
+
+    Dp = padded_dim(D)
+    pt = lstm_init(jax.random.PRNGKey(9), D, H, jnp.float32)
+    x2c = flatten_window(
+        jax.random.normal(jax.random.PRNGKey(10), (B, T + 1, D),
+                          jnp.float32) * 3.0)
+    hs, hna, hnb = jax.jit(lambda x_: lstm_last_flat_triple(
+        x_, p["w"], p["b"], pt["w"], pt["b"], T))(x2c)
+    ws = jax.jit(lambda x_: lstm_last_flat(
+        x_[:, :T * Dp], p["w"], p["b"], T))(x2c)
+    wna, wnb = jax.jit(lambda x_: lstm_last_flat_dual(
+        x_[:, Dp:], p["w"], p["b"], pt["w"], pt["b"], T))(x2c)
+    for a, b_, nm in ((hs, ws, "h_s"), (hna, wna, "h_na"),
+                      (hnb, wnb, "h_nb")):
+        if not _np.array_equal(_np.asarray(a), _np.asarray(b_)):
+            any_bad = True
+            log(f"KERNEL PARITY FAILURE (triple kernel compiled pallas vs "
+                f"single/dual {nm}): max|d|="
+                f"{_np.abs(_np.asarray(a) - _np.asarray(b_)).max():.3e}")
+    gt3 = jax.jit(jax.grad(lambda w_, b_: (lstm_last_flat_triple(
+        x2c, w_, b_, pt["w"], pt["b"], T)[0] * gw).sum(), argnums=(0, 1)))
+    gs1 = jax.jit(jax.grad(lambda w_, b_: (lstm_last_flat(
+        x2c[:, :T * Dp], w_, b_, T) * gw).sum(), argnums=(0, 1)))
+    for a, b_, nm in zip(gt3(p["w"], p["b"]), gs1(p["w"], p["b"]),
+                         ("dw", "db")):
+        if not _np.array_equal(_np.asarray(a), _np.asarray(b_)):
+            any_bad = True
+            log(f"KERNEL PARITY FAILURE (triple kernel vjp vs single "
+                f"{nm}): max|d|="
+                f"{_np.abs(_np.asarray(a) - _np.asarray(b_)).max():.3e}")
+
     if not any_bad:
         log("kernel parity (compiled pallas vs xla: channel designs 2/3/4 "
             "x merge on/off w/ adversarial seqs, piggy histogram, fused "
-            "LSTM fwd+vjp): OK")
+            "LSTM fwd+vjp, triple train-bundle kernel): OK")
 
 
 def bench_scale(num_envs: int = 2048, chunk: int = 32):
@@ -425,6 +487,7 @@ def bench_scale(num_envs: int = 2048, chunk: int = 32):
                              "engine (scale)")
     except Exception as e:
         log("env HBM-bound estimate unavailable:", repr(e))
+    return rate
 
 
 def bench_train_loop(num_envs: int = 256, chunk: int = 5000,

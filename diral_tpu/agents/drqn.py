@@ -130,6 +130,41 @@ def train_on_packed(learner: DRQNLearner, states, actions, rewards,
     return learner.replace(params=params, opt_state=opt_state), loss
 
 
+def train_on_windows(learner: DRQNLearner, windows, actions, rewards,
+                     cfg: AgentConfig):
+    """One gradient step on COMBINED flat (T+1)-step window rows
+    [NB, (T+1)*Dp] (loop.py ``sample_window_rows_many(windows_only=True)``)
+    -- the fused production path: the loss forward and both Double-DQN
+    target forwards run as ONE triple pass sharing a single read of the
+    window (qnets.drqn_apply_triple), instead of materializing separate
+    states/next_states arrays and launching two kernels.  Semantics are
+    identical to ``train_on_packed`` on the sliced arrays: same math, same
+    stop_gradient boundary (drl_drqn.py:199-265 + 267-292); asserted
+    equal in tests/test_learner.py."""
+    acts = (actions[:, -1] if actions.ndim == 2 else actions).astype(jnp.int32)
+    last_r = rewards[:, -1] if rewards.ndim == 2 else rewards
+
+    def fused_loss(params):
+        q_s, q_na, q_nb = qnets.drqn_apply_triple(
+            params, learner.target_params, windows, cfg)
+        if cfg.network.use_double:
+            act = jnp.argmax(q_na, axis=1)
+            next_v = jnp.take_along_axis(q_nb, act[:, None], axis=1)[:, 0]
+        else:
+            next_v = jnp.max(q_nb, axis=1)
+        targets = jax.lax.stop_gradient(last_r + cfg.gamma * next_v)
+        chosen = jnp.take_along_axis(q_s, acts[:, None], axis=1)[:, 0]
+        h = chosen - targets
+        if cfg.hysteretic:
+            h = jnp.where(h < 0, h / 10.0, h)
+        return jnp.mean(jnp.square(h))
+
+    loss, grads = jax.value_and_grad(fused_loss)(learner.params)
+    updates, opt_state = make_optimizer(cfg).update(grads, learner.opt_state)
+    params = optax.apply_updates(learner.params, updates)
+    return learner.replace(params=params, opt_state=opt_state), loss
+
+
 @partial(jax.jit, static_argnames=("cfg", "num_users"))
 def train_on_batch(learner: DRQNLearner, batch, cfg: AgentConfig, num_users: int):
     """One gradient step on one sampled window batch. Returns (learner, loss)."""
@@ -170,6 +205,11 @@ def train(learner: DRQNLearner, replay, key, time_step, cfg: AgentConfig,
     if sample_rows_fn is not None:
         rows = sample_rows_fn(jnp.stack(keys))
         for k in range(cfg.n_batch):
+            if "windows" in rows:  # fused combined-window path (LSTM only)
+                learner, loss = train_on_windows(
+                    learner, rows["windows"][k], rows["actions"][k],
+                    rows["rewards"][k], cfg)
+                continue
             s, ns = rows["states"][k], rows["next_states"][k]
             a, r = rows["actions"][k], rows["rewards"][k]
             if not use_lstm:

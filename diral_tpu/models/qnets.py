@@ -187,6 +187,50 @@ def drqn_apply(params, x, cfg: AgentConfig):
     return _head_stack(params, h, cfg, bf16)
 
 
+def drqn_apply_triple(params, target_params, x2c, cfg: AgentConfig):
+    """(Q_s, Q_na, Q_nb) from ONE combined flat (T+1)-step window
+    [B, (T+1)*Dp] (ring-contiguity: the next_states window is the states
+    window shifted one step):
+
+      Q_s  -- online net on states (steps 0..T-1), DIFFERENTIABLE;
+      Q_na -- online net on next_states (steps 1..T), target path;
+      Q_nb -- target net on next_states, target path.
+
+    Pallas path: one fused triple kernel sharing a single VMEM read of the
+    window (ops/pallas_lstm.lstm_last_flat_triple; bit-identical to the
+    separate fwd + dual kernels).  Q_na/Q_nb carry a stop-gradient
+    CONTRACT (the kernel's VJP ignores their cotangents); callers must
+    wrap the derived target in ``stop_gradient`` (drl_drqn.py:267-292
+    never differentiates it).  Fallback: lane slices + drqn_apply(+dual),
+    identical semantics on every backend/dtype."""
+    from diral_tpu.ops import pallas_lstm
+
+    assert cfg.network.use_lstm_input and x2c.ndim == 2
+    T = cfg.step_size
+    Dp = x2c.shape[1] // (T + 1)
+    use_triple = (
+        cfg.network.lstm_impl in ("auto", "pallas")
+        and pallas_lstm.supported(
+            jnp.bfloat16 if cfg.network.compute_dtype == "bfloat16"
+            else x2c.dtype,
+            params["lstm"]["w"].shape[1] // 4)
+        and (cfg.network.lstm_impl == "pallas"
+             or jax.default_backend() == "tpu")
+    )
+    if not use_triple:
+        q_s = drqn_apply(params, x2c[:, :T * Dp], cfg)
+        q_na, q_nb = drqn_apply_dual(params, target_params, x2c[:, Dp:], cfg)
+        return q_s, q_na, q_nb
+    pa, xc, bf16 = _maybe_bf16(params, x2c, cfg)
+    pb, _, _ = _maybe_bf16(target_params, x2c, cfg)
+    h_s, h_na, h_nb = pallas_lstm.lstm_last_flat_triple(
+        xc, pa["lstm"]["w"], pa["lstm"]["b"],
+        pb["lstm"]["w"], pb["lstm"]["b"], T)
+    return (_head_stack(pa, h_s, cfg, bf16),
+            _head_stack(pa, h_na, cfg, bf16),
+            _head_stack(pb, h_nb, cfg, bf16))
+
+
 def drqn_apply_dual(params_a, params_b, x, cfg: AgentConfig):
     """(Q under params_a, Q under params_b) for the SAME input -- the
     Double-DQN target's online+target forwards on next_states

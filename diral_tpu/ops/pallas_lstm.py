@@ -297,6 +297,121 @@ def lstm_last_flat_dual(x2, wa, ba, wb, bb, T: int):
     return _fwd_dual_impl(x2, wa, ba, wb, bb, T, padded_dim(D))
 
 
+def _fwd_triple_kernel(x_ref, wx_ref, wh_ref, b_ref,
+                       wxt_ref, wht_ref, bt_ref,
+                       hs_ref, hna_ref, hnb_ref, *,
+                       T: int, Dp: int, H: int):
+    """The whole train-step forward bundle in ONE pass over the combined
+    (T+1)-step window (ring-contiguity: next_states windows are the states
+    windows shifted one step, agents/replay.py).  Three recurrences share
+    one VMEM read of x -- and the two ONLINE recurrences share each step's
+    input projection x_t @ Wx outright (identical arithmetic at identical
+    absolute steps, so h_s / h_na / h_nb are bit-identical to the separate
+    _fwd_kernel / _fwd_dual_kernel calls):
+
+      h_s  = online net over steps 0..T-1  (the loss forward on states)
+      h_na = online net over steps 1..T    (Double-DQN argmax on next)
+      h_nb = target net over steps 1..T    (target values on next)
+
+    drl_drqn.py:267-292 + 294-377: the reference runs these as three
+    separate session graphs over two materialized batches."""
+    Bt = x_ref.shape[0]
+    f32 = jnp.float32
+    h_s = jnp.zeros((Bt, H), f32)
+    c_s = jnp.zeros((Bt, H), f32)
+    h_na = jnp.zeros((Bt, H), f32)
+    c_na = jnp.zeros((Bt, H), f32)
+    h_nb = jnp.zeros((Bt, H), f32)
+    c_nb = jnp.zeros((Bt, H), f32)
+    wx, wh, b = wx_ref[:], wh_ref[:], b_ref[:].astype(f32)
+    wxt, wht, bt = wxt_ref[:], wht_ref[:], bt_ref[:].astype(f32)
+    for t in range(T + 1):
+        xt = x_ref[:, t * Dp:(t + 1) * Dp]
+        xp = _mxu_dot(xt, wx)          # online input projection, shared
+        if t < T:
+            g = xp + _mxu_dot(h_s, wh) + b
+            c_s, h_s, _ = _gate_math(c_s, g, H)
+        if t >= 1:
+            g = xp + _mxu_dot(h_na, wh) + b
+            c_na, h_na, _ = _gate_math(c_na, g, H)
+            gt = _mxu_dot(xt, wxt) + _mxu_dot(h_nb, wht) + bt
+            c_nb, h_nb, _ = _gate_math(c_nb, gt, H)
+    hs_ref[:] = h_s.astype(hs_ref.dtype)
+    hna_ref[:] = h_na.astype(hna_ref.dtype)
+    hnb_ref[:] = h_nb.astype(hnb_ref.dtype)
+
+
+def _fwd_triple_impl(x2c, w, b, wt, bt, T: int, Dp: int):
+    _, L = x2c.shape
+    assert L == (T + 1) * Dp, (L, T, Dp)
+    assert w.shape == wt.shape, (w.shape, wt.shape)
+    H = w.shape[1] // 4
+    D = w.shape[0] - H
+    btile = _fwd_tile(x2c.shape[0])
+    xp_, B0, Bp = _pad_batch(x2c, btile)
+    wx, wh = _pad_w(w, D, Dp)
+    wxt, wht = _pad_w(wt, D, Dp)
+    kernel = functools.partial(_fwd_triple_kernel, T=T, Dp=Dp, H=H)
+    w_spec = [
+        pl.BlockSpec((Dp, 4 * H), lambda ib: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((H, 4 * H), lambda ib: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 4 * H), lambda ib: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec((btile, H), lambda ib: (ib, 0),
+                            memory_space=pltpu.VMEM)
+    hs, hna, hnb = pl.pallas_call(
+        kernel,
+        grid=(Bp // btile,),
+        in_specs=[pl.BlockSpec((btile, L), lambda ib: (ib, 0),
+                               memory_space=pltpu.VMEM)]
+        + w_spec + w_spec,
+        out_specs=[out_spec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((Bp, H), x2c.dtype)] * 3,
+        interpret=_interpret(),
+    )(xp_, wx, wh, b[None, :], wxt, wht, bt[None, :])
+    return hs[:B0], hna[:B0], hnb[:B0]
+
+
+@functools.lru_cache(maxsize=None)
+def _triple_op(T: int, Dp: int):
+    """Differentiable-through-h_s triple op: gradients flow to (x2c's
+    first T*Dp lanes, w, b) via the recompute backward kernel; h_na / h_nb
+    are TARGET-PATH outputs whose cotangents the backward IGNORES --
+    callers must consume them under ``stop_gradient`` semantics (drqn
+    td_targets does; the Double-DQN target is never differentiated,
+    drl_drqn.py:267-292)."""
+
+    @jax.custom_vjp
+    def op(x2c, w, b, wt, bt):
+        return _fwd_triple_impl(x2c, w, b, wt, bt, T, Dp)
+
+    def fwd(x2c, w, b, wt, bt):
+        return _fwd_triple_impl(x2c, w, b, wt, bt, T, Dp), (x2c, w, b, wt, bt)
+
+    def bwd(res, gs):
+        x2c, w, b, wt, bt = res
+        g_s, _g_na, _g_nb = gs  # target-path cotangents: zero by contract
+        dx, dw, db = _bwd_impl(x2c[:, :T * Dp], w, b, g_s, T, Dp)
+        dx2c = jnp.pad(dx, ((0, 0), (0, Dp)))  # last step: no loss-path use
+        return dx2c, dw, db, jnp.zeros_like(wt), jnp.zeros_like(bt)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def lstm_last_flat_triple(x2c, w, b, wt, bt, T: int):
+    """(h_s, h_na, h_nb) over a combined flat (T+1)-step window
+    [B, (T+1)*Dp]: the loss forward (steps 0..T-1, differentiable) and the
+    Double-DQN target pair (steps 1..T, online + target nets,
+    stop-gradient contract -- see _triple_op)."""
+    H = w.shape[1] // 4
+    D = w.shape[0] - H
+    return _triple_op(T, padded_dim(D))(x2c, w, b, wt, bt)
+
+
 def _bwd_impl(x2, w, b, g, T: int, Dp: int):
     _, L = x2.shape
     H = w.shape[1] // 4

@@ -224,7 +224,7 @@ def sample_windows_cross_env_many(replay: FusedWindowReplay, keys, batch: int,
 
 
 def sample_window_rows_many(replay: FusedWindowReplay, keys, batch: int,
-                            step: int):
+                            step: int, windows_only: bool = False):
     """Production window samples, pre-repacked to user-major Q-net rows.
 
     Returns dict of per-draw stacks:
@@ -233,6 +233,14 @@ def sample_window_rows_many(replay: FusedWindowReplay, keys, batch: int,
         directly, row r = user-major (user u = r // batch), exactly the
         reference repack order drl_drqn.py:294-377);
       rewards [n, N*batch, step]; actions [n, N*batch, step] int32.
+
+    With ``windows_only`` the states/next_states pair is replaced by ONE
+    ``windows`` array [n, N*batch, (step+1)*Dp] -- the combined window
+    whose first step*Dp lanes ARE the states row and whose lanes from Dp
+    on ARE the next_states row.  The fused train step
+    (drqn.train_on_windows -> qnets.drqn_apply_triple) consumes it
+    directly, so neither sliced copy is ever materialized (round 5: the
+    two copies cost ~2x the window bytes per event in pure HBM writes).
 
     Built from per-user static lane slices of the flat gather -- no
     [batch, T, N, D] intermediate, so the repack transpose that cost
@@ -254,14 +262,17 @@ def sample_window_rows_many(replay: FusedWindowReplay, keys, batch: int,
     # input-weight rows, zero dx).  Assemble in FINAL row order
     # (draw-major, user-major, batch) with slice+reshape+concat only; the
     # earlier unaligned-stride pad+concat assembly cost 0.45 ms/event.
-    su, nu, ru, au = [], [], [], []
+    su, nu, wu, ru, au = [], [], [], [], []
     for j in range(n):
         fj = fw[j * batch:(j + 1) * batch]
         for u in range(N):
             o = u * Dp
             win = fj[:, :, o:o + Dp]                      # [b, W, Dp]
-            su.append(win[:, :step].reshape(batch, step * Dp))
-            nu.append(win[:, 1:].reshape(batch, step * Dp))
+            if windows_only:
+                wu.append(win.reshape(batch, (step + 1) * Dp))
+            else:
+                su.append(win[:, :step].reshape(batch, step * Dp))
+                nu.append(win[:, 1:].reshape(batch, step * Dp))
             ru.append(win[:, :step, D])
             au.append(win[:, :step, D + 1])
 
@@ -269,12 +280,16 @@ def sample_window_rows_many(replay: FusedWindowReplay, keys, batch: int,
         y = jnp.concatenate(parts, axis=0)
         return y.reshape((n, N * batch) + parts[0].shape[1:])
 
-    return {
-        "states": cat(su),
-        "next_states": cat(nu),
+    out = {
         "rewards": cat(ru),
         "actions": cat(au).astype(jnp.int32),
     }
+    if windows_only:
+        out["windows"] = cat(wu)
+    else:
+        out["states"] = cat(su)
+        out["next_states"] = cat(nu)
+    return out
 
 
 def make_train_functions(cfg: ExperimentConfig, dtype=jnp.float32, trace=None):
@@ -330,6 +345,19 @@ def make_train_functions(cfg: ExperimentConfig, dtype=jnp.float32, trace=None):
     from diral_tpu.ops.pallas_lstm import padded_dim
 
     Dp = padded_dim(D)
+
+    # bfloat16 training mode stores the replay ring and the history window
+    # in bf16 (round-5: the event's dominant HBM streams halve -- window
+    # gathers, history push, replay writes; the Q-net casts its inputs to
+    # bf16 for the matmuls anyway, so the only numerics change is storage
+    # rounding of states/shaped rewards, acceptable inside the already
+    # non-bit-exact bf16 mode).  Channel-id representability in bf16
+    # (ids <= 256) is asserted at creation (replay.py).  Env state and the
+    # carry stay ``dtype``; float64 parity runs are untouched.
+    store_dtype = (jnp.bfloat16
+                   if (acfg.network.compute_dtype == "bfloat16"
+                       and jnp.dtype(dtype) == jnp.dtype(jnp.float32))
+                   else dtype)
 
     def qvalues(learner, history):
         """history [B, N, T*Dp] -> Q [B, N, A]: one forward for all agents
@@ -394,11 +422,12 @@ def make_train_functions(cfg: ExperimentConfig, dtype=jnp.float32, trace=None):
         # contiguous (see sample_windows_cross_env_many)
         window = T if acfg.network.use_lstm_input else 1
         replay = jax.vmap(
-            lambda _: FusedWindowReplay.create(cfg.memory_size, N, D, dtype,
+            lambda _: FusedWindowReplay.create(cfg.memory_size, N, D,
+                                               store_dtype,
                                                num_actions=C, pad=window)
         )(jnp.arange(B))
 
-        history = jnp.zeros((B, N, T * Dp), dtype)
+        history = jnp.zeros((B, N, T * Dp), store_dtype)
 
         def pretrain_body(carry, k):
             env_state, state, replay, history = carry
@@ -431,14 +460,18 @@ def make_train_functions(cfg: ExperimentConfig, dtype=jnp.float32, trace=None):
         )
 
     def train_call(learner, replay, key, t):
-        step = T if acfg.network.use_lstm_input else 1
+        use_lstm = acfg.network.use_lstm_input
+        step = T if use_lstm else 1
         return drqn.train(
             learner, replay, key, t, acfg, N,
             sample_fn=lambda k: sample_windows_cross_env(
                 replay, k, acfg.batch_size, step
             ),
+            # LSTM path: combined windows feed the fused triple-forward
+            # train step (drqn.train_on_windows); the MLP path keeps the
+            # sliced states/next rows
             sample_rows_fn=lambda ks: sample_window_rows_many(
-                replay, ks, acfg.batch_size, step
+                replay, ks, acfg.batch_size, step, windows_only=use_lstm
             ),
         )
 

@@ -130,6 +130,80 @@ def _campaign_table(artifact: str) -> str:
     return "\n".join(out)
 
 
+def _throughput_table() -> str:
+    """Driver-capture-owned throughput rows (round-5 VERDICT #8: no
+    hand-typed headline numbers).  Source: results/bench_latest.json,
+    written by every ``python bench.py`` run; best-ever tracks the best
+    driver-capture medians across rounds."""
+    d = _load("bench_latest.json")
+    c, b = d["capture"], d["best_ever"]
+
+    def m(v):
+        return f"{v / 1e6:,.1f}M"
+
+    rows = [
+        ("env engine, toy 4ue/3r, 8192 envs (step + state assembly)",
+         f"**{m(c['value'])} env-steps/s** (median, spread "
+         f"{c['spread']:.2f}x, min {m(c['value_min'])})",
+         f"{m(b['value'])}"),
+        ("env engine, scale 100v/50r, 2048 envs (fused channel kernel)",
+         f"**{c['scale_env_steps_per_sec']:,.0f} env-steps/s** "
+         f"({c['scale_env_steps_per_sec'] * 100:,.0f} agent-steps/s)",
+         f"{b['scale_env_steps_per_sec']:,.0f}"),
+        ("training loop, toy, 256 envs, float32 (inference+env+replay+train)",
+         f"**{c['train_slots_per_sec']:,.0f} slots/s** "
+         f"({c['train_slots_per_sec'] * 256:,.0f} env-slots/s)",
+         f"{b['train_slots_per_sec']:,.0f}"),
+        ("training loop, toy, 256 envs, bfloat16",
+         f"**{c['train_slots_per_sec_bf16']:,.0f} slots/s**",
+         f"{b['train_slots_per_sec_bf16']:,.0f}"),
+    ]
+    out = ["| measurement | latest driver capture | best driver capture |",
+           "|---|---|---|"]
+    out += [f"| {a} | {v} | {bb} |" for a, v, bb in rows]
+    return "\n".join(out)
+
+
+def _ps_campaign_table() -> str:
+    """In-process PS-DQN / PS-DRQN results (round-5 VERDICT #4)."""
+    d = _load("ps_campaign.json")
+    out = ["| algo | seed | final decile sum_r | PRR | SPS PRR | ΔPRR "
+           "| slots/s |",
+           "|---|---|---|---|---|---|---|"]
+    for r in d["runs"]:
+        comp = r["compare_vs_sps"]
+        own = comp[r["algo"].replace("-", "_")]
+        out.append(
+            f"| {r['algo']} | {r['seed']} | {r['final_decile_sum_r']:+.2f} "
+            f"| {own['mean_prr']:.3f} | {comp['sps']['mean_prr']:.3f} "
+            f"| {comp['prr_improvement']:+.1%} | {r['slots_per_sec']:.0f} |")
+    return "\n".join(out)
+
+
+def _ppo_seeds_table() -> str:
+    """PPO seed distribution + greedy PRR-vs-SPS (round-5 VERDICT #5)."""
+    d = _load("ppo_seeds.json")
+    out = ["| seed | sum_r first/last 100 ep | PPO PRR | SPS PRR | ΔPRR "
+           "| slots/s |",
+           "|---|---|---|---|---|---|"]
+    deltas = []
+    for r in d["runs"]:
+        comp = r["compare_vs_sps"]
+        deltas.append(comp["prr_improvement"])
+        out.append(
+            f"| {r['seed']} | {r['sum_r_first100']:+.2f} → "
+            f"{r['sum_r_last100']:+.2f} | {comp['ppo']['mean_prr']:.3f} "
+            f"| {comp['sps']['mean_prr']:.3f} "
+            f"| {comp['prr_improvement']:+.1%} | {r['slots_per_sec']:.0f} |")
+    n = len(deltas)
+    mean = sum(deltas) / n
+    std = (sum((x - mean) ** 2 for x in deltas) / n) ** 0.5
+    below = sum(1 for x in deltas if x < 0)
+    out.append(f"| **mean ± std (n={n})** | | | | **{mean:+.1%} ± {std:.1%}**"
+               f" ({below}/{n} below SPS) | |")
+    return "\n".join(out)
+
+
 TABLES = {
     "congested-vs-sps": lambda: _vs_sps_table("congested_full_150k.json"),
     "toy-deciles": _toy_deciles_table,
@@ -141,6 +215,20 @@ TABLES = {
     "dynamic-seeds": lambda: _campaign_table("dynamic_seeds5.json"),
     "scale-seeds": lambda: _campaign_table("scale_seeds5.json"),
     "serve-seeds": _serve_seeds_table,
+    "throughput": _throughput_table,
+}
+
+# Registered once their campaign artifacts exist (scripts/ps_campaign.py,
+# scripts/ppo_campaign.py write them; see round-5 items #4/#5).
+if os.path.exists(os.path.join(ROOT, "results", "ps_campaign.json")):
+    TABLES["ps-campaign"] = _ps_campaign_table
+if os.path.exists(os.path.join(ROOT, "results", "ppo_seeds.json")):
+    TABLES["ppo-seeds"] = _ppo_seeds_table
+
+# README.md carries a compact copy of the throughput table, regenerated
+# from the same artifact.
+README_TABLES = {
+    "readme-throughput": _throughput_table,
 }
 
 _BLOCK = re.compile(
@@ -149,42 +237,46 @@ _BLOCK = re.compile(
 )
 
 
-def render(text: str) -> str:
+def render(text: str, tables, where: str) -> str:
     seen = set()
 
     def sub(m):
         name = m.group(2)
-        if name not in TABLES:
-            raise KeyError(f"RESULTS.md references unknown table {name!r}")
+        if name not in tables:
+            raise KeyError(f"{where} references unknown table {name!r}")
         seen.add(name)
-        return m.group(1) + "\n" + TABLES[name]() + "\n" + m.group(3)
+        return m.group(1) + "\n" + tables[name]() + "\n" + m.group(3)
 
     out = _BLOCK.sub(sub, text)
-    missing = set(TABLES) - seen
+    missing = set(tables) - seen
     if missing:
-        raise KeyError(f"RESULTS.md is missing markers for: {sorted(missing)}")
+        raise KeyError(f"{where} is missing markers for: {sorted(missing)}")
     return out
 
 
 def main():
     check = "--check" in sys.argv
-    with open(RESULTS_MD) as f:
-        text = f.read()
-    new = render(text)
-    if check:
-        if new != text:
-            print("RESULTS.md tables are stale; run `make results`",
-                  file=sys.stderr)
-            return 1
-        print("RESULTS.md tables match results/*.json")
-        return 0
-    if new != text:
-        with open(RESULTS_MD, "w") as f:
-            f.write(new)
-        print("RESULTS.md tables regenerated")
-    else:
-        print("RESULTS.md tables already current")
-    return 0
+    rc = 0
+    for path, tables in ((RESULTS_MD, TABLES),
+                         (os.path.join(ROOT, "README.md"), README_TABLES)):
+        name = os.path.basename(path)
+        with open(path) as f:
+            text = f.read()
+        new = render(text, tables, name)
+        if check:
+            if new != text:
+                print(f"{name} tables are stale; run `make results`",
+                      file=sys.stderr)
+                rc = 1
+            else:
+                print(f"{name} tables match results/*.json")
+        elif new != text:
+            with open(path, "w") as f:
+                f.write(new)
+            print(f"{name} tables regenerated")
+        else:
+            print(f"{name} tables already current")
+    return rc
 
 
 if __name__ == "__main__":

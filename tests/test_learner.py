@@ -351,3 +351,64 @@ def test_fused_replay_chain_invariant():
         if prev_next is not None:  # previous slot's next_state == this row's
             np.testing.assert_array_equal(prev_next, row[..., :D])
         prev_next = np.asarray(carry.state)
+
+
+def test_fused_windows_train_step_matches_packed():
+    """The fused combined-window train step (train_on_windows over
+    sample_window_rows_many(windows_only=True)) must match train_on_packed
+    on the sliced states/next_states rows: same windows, same loss, same
+    updated params.  Exercised through BOTH lstm_impl paths: the XLA
+    fallback (slices + apply/apply_dual) and the interpret-mode Pallas
+    triple kernel."""
+    from diral_tpu.ops.pallas_lstm import padded_dim
+    from diral_tpu.train.loop import (make_train_functions,
+                                      sample_window_rows_many)
+
+    base = small_cfg()
+    base = dataclasses.replace(
+        base, engine=dataclasses.replace(base.engine, num_envs=3))
+    init_carry, slot_step, _ = make_train_functions(base)
+    carry = jax.jit(init_carry)(jax.random.PRNGKey(8))
+    carry, _ = jax.jit(lambda c: jax.lax.scan(slot_step, c, jnp.arange(70)))(
+        carry)
+    replay, learner = carry.replay, carry.learner
+    T, batch = base.agent.step_size, 16
+    keys = jnp.stack([jax.random.PRNGKey(31)])
+
+    rows_w = jax.jit(lambda r, k: sample_window_rows_many(
+        r, k, batch, T, windows_only=True))(replay, keys)
+    rows_s = jax.jit(lambda r, k: sample_window_rows_many(
+        r, k, batch, T))(replay, keys)
+    Dp = padded_dim(replay.state_dim)
+    # the combined window's slices ARE the states/next_states rows
+    np.testing.assert_array_equal(
+        np.asarray(rows_w["windows"][0][:, :T * Dp]),
+        np.asarray(rows_s["states"][0]))
+    np.testing.assert_array_equal(
+        np.asarray(rows_w["windows"][0][:, Dp:]),
+        np.asarray(rows_s["next_states"][0]))
+
+    for impl in ("xla", "pallas"):
+        acfg = dataclasses.replace(
+            base.agent, network=dataclasses.replace(
+                base.agent.network, lstm_impl=impl,
+                # the kernel needs lane-aligned hidden; the xla branch
+                # keeps the carry's small net
+                layers=(128, 32) if impl == "pallas"
+                else base.agent.network.layers))
+        lrn = (drqn.init_learner(jax.random.PRNGKey(40), replay.state_dim,
+                                 base.env.num_channels, acfg)
+               if impl == "pallas" else learner)
+        l1, loss1 = jax.jit(lambda l: drqn.train_on_windows(
+            l, rows_w["windows"][0], rows_w["actions"][0],
+            rows_w["rewards"][0], acfg))(lrn)
+        l2, loss2 = jax.jit(lambda l: drqn.train_on_packed(
+            l, rows_s["states"][0], rows_s["actions"][0],
+            rows_s["rewards"][0], rows_s["next_states"][0], acfg))(lrn)
+        np.testing.assert_allclose(float(loss1), float(loss2),
+                                   rtol=1e-6, atol=1e-7, err_msg=impl)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
+                err_msg=impl),
+            l1.params, l2.params)

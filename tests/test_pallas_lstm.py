@@ -149,3 +149,63 @@ def test_unsupported_shapes_fall_back():
     q = qnets.drqn_apply(params, jnp.zeros((4, cfg.step_size, 23),
                                            jnp.float64), cfg)
     assert q.shape == (4, 3)
+
+
+def test_triple_kernel_matches_single_and_dual():
+    """lstm_last_flat_triple (one kernel over the combined (T+1)-step
+    window -- the fused train-step forward bundle) must BIT-equal the
+    separate fwd kernel on steps 0..T-1 and dual kernel on steps 1..T."""
+    from diral_tpu.ops.pallas_lstm import (flatten_window, lstm_last_flat,
+                                           lstm_last_flat_dual,
+                                           lstm_last_flat_triple,
+                                           padded_dim)
+
+    B, T, D, H = 300, 6, 23, 128
+    Dp = padded_dim(D)
+    k = jax.random.PRNGKey(6)
+    kx, ka, kb = jax.random.split(k, 3)
+    pa = lstm_init(ka, D, H, jnp.float32)
+    pb = lstm_init(kb, D, H, jnp.float32)
+    x2c = flatten_window(jax.random.normal(kx, (B, T + 1, D), jnp.float32))
+    hs, hna, hnb = jax.jit(lambda x_: lstm_last_flat_triple(
+        x_, pa["w"], pa["b"], pb["w"], pb["b"], T))(x2c)
+    want_s = jax.jit(lambda x_: lstm_last_flat(
+        x_[:, :T * Dp], pa["w"], pa["b"], T))(x2c)
+    want_na, want_nb = jax.jit(lambda x_: lstm_last_flat_dual(
+        x_[:, Dp:], pa["w"], pa["b"], pb["w"], pb["b"], T))(x2c)
+    np.testing.assert_array_equal(np.asarray(hs), np.asarray(want_s))
+    np.testing.assert_array_equal(np.asarray(hna), np.asarray(want_na))
+    np.testing.assert_array_equal(np.asarray(hnb), np.asarray(want_nb))
+
+
+def test_triple_kernel_gradients_match_single():
+    """Gradients through h_s (the only differentiable output by contract)
+    must BIT-equal the single kernel's custom VJP; the target-path
+    cotangents are zero under the stop_gradient the callers apply."""
+    from diral_tpu.ops.pallas_lstm import (flatten_window, lstm_last_flat,
+                                           lstm_last_flat_triple,
+                                           padded_dim)
+
+    B, T, D, H = 64, 6, 23, 128
+    Dp = padded_dim(D)
+    k = jax.random.PRNGKey(7)
+    kx, ka, kb = jax.random.split(k, 3)
+    pa = lstm_init(ka, D, H, jnp.float32)
+    pb = lstm_init(kb, D, H, jnp.float32)
+    x2c = flatten_window(jax.random.normal(kx, (B, T + 1, D), jnp.float32))
+
+    def f_triple(x_, w, b):
+        hs, hna, hnb = lstm_last_flat_triple(x_, w, b, pb["w"], pb["b"], T)
+        # target outputs consumed under stop_gradient, as drqn does
+        tgt = jax.lax.stop_gradient(hna.sum() + hnb.sum())
+        return (hs * hs).sum() + 0.0 * tgt
+
+    def f_single(x_, w, b):
+        hs = lstm_last_flat(x_[:, :T * Dp], w, b, T)
+        return (hs * hs).sum()
+
+    gt = jax.jit(jax.grad(f_triple, argnums=(0, 1, 2)))(x2c, pa["w"], pa["b"])
+    gs = jax.jit(jax.grad(f_single, argnums=(0, 1, 2)))(x2c, pa["w"], pa["b"])
+    np.testing.assert_array_equal(np.asarray(gt[0]), np.asarray(gs[0]))
+    np.testing.assert_array_equal(np.asarray(gt[1]), np.asarray(gs[1]))
+    np.testing.assert_array_equal(np.asarray(gt[2]), np.asarray(gs[2]))
