@@ -385,6 +385,36 @@ def bench_kernel_parity(n: int = 100, c: int = 50):
             log(f"KERNEL PARITY FAILURE (lstm_last compiled pallas vs xla "
                 f"{nm}): max|d|/max={_np.max(_np.abs(a - b_)) / sc:.3e}")
 
+    # Envs-in-lanes type-2 histogram (the toy engine's auto path): the
+    # compiled Mosaic kernel must BIT-equal the batched XLA membership
+    # form (exact edge constants; integer-exact matmul reduction).
+    import dataclasses as _dc
+
+    from diral_tpu.envs import v2v_env as _E2
+
+    _tb = toy_4ue_3r().env
+    _B = 333  # non-multiple of the lane pack: padding path
+    _ks = jax.random.split(jax.random.PRNGKey(99), 6)
+    _st = jax.vmap(lambda kk: _E2.reset(_tb, kk, jnp.float32))(
+        jax.random.split(_ks[0], _B))
+    _st = _st.replace(
+        table_x=jax.random.uniform(_ks[1], (_B, 4, 4), jnp.float32, 0, 100),
+        table_y=jax.random.uniform(_ks[2], (_B, 4, 4), jnp.float32, 0, 2),
+        table_age=jax.random.randint(_ks[3], (_B, 4, 4), 0, 40),
+        pos_x=jax.random.uniform(_ks[4], (_B, 4), jnp.float32, 0, 100),
+        pos_y=jax.random.uniform(_ks[5], (_B, 4), jnp.float32, 0, 2))
+    _cx = _dc.replace(_tb, state=_dc.replace(_tb.state, hist_impl="xla"))
+    _cl = _dc.replace(_tb, state=_dc.replace(_tb.state, hist_impl="lanes"))
+    _hx = jax.jit(jax.vmap(
+        lambda s: _E2.positional_dist_piggy_type2(_cx, s)))(_st)
+    _hl = jax.jit(jax.vmap(
+        lambda s: _E2.positional_dist_piggy_type2(_cl, s)))(_st)
+    if not _np.array_equal(_np.asarray(_hx), _np.asarray(_hl)):
+        any_bad = True
+        log(f"KERNEL PARITY FAILURE (lanes histogram compiled pallas vs "
+            f"xla): max|d|="
+            f"{_np.abs(_np.asarray(_hx) - _np.asarray(_hl)).max():.3e}")
+
     # Triple kernel (the fused train-step forward bundle): compiled
     # Mosaic path must BIT-equal the single fwd + dual kernels it fuses
     # (identical arithmetic by construction -- any deviation is a compiled
@@ -427,7 +457,7 @@ def bench_kernel_parity(n: int = 100, c: int = 50):
     if not any_bad:
         log("kernel parity (compiled pallas vs xla: channel designs 2/3/4 "
             "x merge on/off w/ adversarial seqs, piggy histogram, fused "
-            "LSTM fwd+vjp, triple train-bundle kernel): OK")
+            "LSTM fwd+vjp, triple train-bundle kernel, lanes histogram): OK")
 
 
 def bench_scale(num_envs: int = 2048, chunk: int = 32):

@@ -46,6 +46,8 @@ Known deviations (out of the toy/BASELINE domain, documented):
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from flax import struct
@@ -619,7 +621,7 @@ def positional_dist_piggy_type1(cfg: EnvConfig, state: EnvState):
 
 def _pallas_hist_wanted(cfg: EnvConfig, dtype) -> bool:
     impl = cfg.state.hist_impl
-    if impl == "xla":
+    if impl in ("xla", "lanes"):  # "lanes" forces the envs-in-lanes kernel
         return False
     if impl == "pallas":
         return True
@@ -653,6 +655,59 @@ def _pallas_step_wanted(cfg: EnvConfig, dtype) -> bool:
             and jax.default_backend() == "tpu")
 
 
+def _piggy_type2_from_parts(signed, valid, nbins: int, rng: float):
+    """Batched-agnostic XLA tail of the type-2 piggy histogram:
+    [..., N, N] signed distances + validity -> [..., N, nbins] normalized
+    counts (network.py:473-513)."""
+    hist = masked_count_histogram(signed, valid, -rng, rng, nbins)
+    cnt = valid.sum(axis=-1).astype(hist.dtype)
+    return jnp.where(cnt[..., None] > 0,
+                     hist / jnp.where(cnt, cnt, 1)[..., None], 0)
+
+
+@functools.lru_cache(maxsize=None)
+def _piggy_type2_lanes_op(n: int, nbins: int, rng: float, force: bool):
+    """custom_vmap wrapper: the per-env call is the canonical XLA path,
+    but under the training loop's env vmap the batch is served by the
+    envs-in-lanes Mosaic kernel (ops/pallas_kernels.piggy_histogram_lanes)
+    -- the [B, N, N, bins] XLA expansion wastes >=87% of every tile on the
+    tiny trailing dims at toy N (round-3 trace: ~42% of the whole step),
+    while the kernel packs 128//(N*N) envs per lane row.  Counts are
+    bit-identical (exact edge constants, integer-exact matmul reduction).
+    A second vmap level (train-sweep) or f64/CPU falls back to the
+    batched-agnostic XLA form inside the rule."""
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def op(signed, valid):
+        return _piggy_type2_from_parts(signed, valid, nbins, rng)
+
+    @op.def_vmap
+    def rule(axis_size, in_batched, signed, valid):
+        sb, vb = in_batched
+        if not sb:
+            signed = jnp.broadcast_to(signed, (axis_size,) + signed.shape)
+        if not vb:
+            valid = jnp.broadcast_to(valid, (axis_size,) + valid.shape)
+        use_kernel = (signed.ndim == 3 and signed.dtype == jnp.float32
+                      and n * n <= 128
+                      and (force or jax.default_backend() == "tpu"))
+        if use_kernel:
+            from diral_tpu.ops.pallas_kernels import piggy_histogram_lanes
+
+            B = signed.shape[0]
+            hist, cnt = piggy_histogram_lanes(
+                signed.reshape(B, n * n), valid.reshape(B, n * n),
+                n, nbins, -rng, rng)
+            out = jnp.where(cnt[..., None] > 0,
+                            hist / jnp.where(cnt, cnt, 1)[..., None], 0)
+        else:
+            out = _piggy_type2_from_parts(signed, valid, nbins, rng)
+        return out, True
+
+    return op
+
+
 def positional_dist_piggy_type2(cfg: EnvConfig, state: EnvState):
     """Count histogram over +-bin_range divided by visible-neighbor count
     (network.py:473-513) -- the toy config's view-based positional
@@ -666,6 +721,11 @@ def positional_dist_piggy_type2(cfg: EnvConfig, state: EnvState):
                                float(rng), bins)
     d, sign, fresh = _piggy_geometry(state)
     valid = fresh & (d < rng)
+    impl = cfg.state.hist_impl
+    if impl in ("auto", "lanes") and cfg.num_users ** 2 <= 128:
+        op = _piggy_type2_lanes_op(cfg.num_users, bins, float(rng),
+                                   impl == "lanes")
+        return op(d * sign, valid)
     hist = masked_count_histogram(d * sign, valid, -float(rng), float(rng), bins)
     cnt = valid.sum(axis=1).astype(hist.dtype)
     return jnp.where(cnt[:, None] > 0, hist / jnp.where(cnt, cnt, 1)[:, None], 0)

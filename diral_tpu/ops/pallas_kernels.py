@@ -101,3 +101,115 @@ def piggy_histogram(table_x, table_y, pos_x, pos_y, table_age,
         table_x, table_y, pos_x[:, None], pos_y[:, None], table_age,
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Envs-in-lanes piggy type-2 histogram (small-N configs)
+# ---------------------------------------------------------------------------
+#
+# The toy config's positional histogram works on [B, N, N] tensors with
+# N = 4: every XLA formulation puts (N, bins) or (N, N) in the trailing
+# tile dims and wastes >= 87% of each (8, 128) tile on padding -- the
+# round-3 trace measured the histogram fusion at ~42% of the whole env
+# step.  This kernel packs E = 128 // (N*N) ENVS into the 128-lane axis
+# (rows [B/E, E*N*N], dense), tests bin membership against the exact
+# np.linspace edge constants (same compares as ops/histogram.py
+# bin_membership), and reduces the neighbor axis with a 0/1 selection
+# matmul on the MXU -- products and sums are small integers, exact in
+# bf16, so the counts are BIT-identical to the XLA path.
+
+def _lanes_hist_kernel(sd_ref, va_ref, sel_ref, hist_ref, cnt_ref, *,
+                       edges, en_out: int):
+    f32 = jnp.float32
+    sd = sd_ref[:]                    # [Bt, E*N*N] signed distances
+    va = va_ref[:]                    # [Bt, E*N*N] validity as 0/1 f32
+    sel = sel_ref[:].astype(jnp.bfloat16)  # [E*N*N, E*N] 0/1 selection
+
+    def reduce_neighbors(m):
+        # 0/1 x 0/1 with f32 accumulation: exact for counts <= N
+        return jax.lax.dot_general(
+            m.astype(jnp.bfloat16), sel,
+            (((1,), (0,)), ((), ())), preferred_element_type=f32)
+
+    cnt_ref[:] = reduce_neighbors(va)
+    nbins = len(edges) - 1
+    for k in range(nbins):            # bins are few (toy: 20): unrolled
+        lo = f32(edges[k])
+        hi = f32(edges[k + 1])
+        up = (sd <= hi) if k == nbins - 1 else (sd < hi)
+        memb = (sd >= lo) & up
+        hist_ref[:, k * en_out:(k + 1) * en_out] = reduce_neighbors(
+            jnp.where(memb, va, 0.0))
+
+
+def piggy_histogram_lanes(signed, valid, n: int, nbins: int,
+                          lo: float, hi: float):
+    """Batched piggy type-2 count histogram via env-lane packing.
+
+    signed: [B, N*N] f32 signed distances (row b = env b's [N, N] table
+    flattened); valid: [B, N*N] bool/0-1.  Returns (hist [B, N, nbins],
+    cnt [B, N]) with np.histogram membership semantics -- bit-identical
+    to ops/histogram.masked_count_histogram on the same inputs.
+    Requires N*N <= 128."""
+    import numpy as np
+
+    B = signed.shape[0]
+    nn = n * n
+    E = max(1, 128 // nn)
+    en_out = E * n
+    # the exact np.linspace edges (ops/histogram.uniform_edges semantics;
+    # computed in numpy directly so tracing never touches a jnp constant)
+    edges = tuple(float(v) for v in np.linspace(
+        lo, hi, nbins + 1, dtype=np.dtype(jnp.dtype(signed.dtype).name)))
+
+    Bp = _round_up(B, E)
+    if Bp != B:
+        signed = jnp.pad(signed, ((0, Bp - B), (0, 0)))
+        valid = jnp.pad(valid, ((0, Bp - B), (0, 0)))
+    R = Bp // E
+    sd = signed.reshape(R, E * nn)
+    va = valid.astype(signed.dtype).reshape(R, E * nn)
+
+    # selection matrix: lane (e, n, m) -> column (e, n)
+    sel = np.zeros((E * nn, en_out), np.float32)
+    for e in range(E):
+        for u in range(n):
+            sel[e * nn + u * n:e * nn + u * n + n, e * n + u] = 1.0
+    sel = jnp.asarray(sel, signed.dtype)
+
+    bt = min(256, _round_up(R, 8))
+    Rp = _round_up(R, bt)
+    if Rp != R:
+        sd = jnp.pad(sd, ((0, Rp - R), (0, 0)))
+        va = jnp.pad(va, ((0, Rp - R), (0, 0)))
+
+    kernel = functools.partial(_lanes_hist_kernel, edges=edges,
+                               en_out=en_out)
+    hist, cnt = pl.pallas_call(
+        kernel,
+        grid=(Rp // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, E * nn), lambda ib: (ib, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, E * nn), lambda ib: (ib, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((E * nn, en_out), lambda ib: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bt, nbins * en_out), lambda ib: (ib, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, en_out), lambda ib: (ib, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Rp, nbins * en_out), signed.dtype),
+            jax.ShapeDtypeStruct((Rp, en_out), signed.dtype),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(sd, va, sel)
+    # [R, nbins, E, N] -> [Bp, N, nbins]
+    hist = hist[:R].reshape(R, nbins, E, n).transpose(0, 2, 3, 1)
+    hist = hist.reshape(Bp, n, nbins)[:B]
+    cnt = cnt[:R].reshape(Bp, n)[:B]
+    return hist, cnt

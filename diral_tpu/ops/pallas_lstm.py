@@ -104,10 +104,25 @@ def _fwd_kernel(x_ref, wx_ref, wh_ref, b_ref, h_out_ref, *,
 
 
 def _bwd_kernel(x_ref, wx_ref, wh_ref, b_ref, g_ref,
-                dx_ref, dwx_ref, dwh_ref, db_ref,
-                h_hist, c_hist, *, T: int, Dp: int, H: int):
+                *refs, T: int, Dp: int, H: int, need_dx: bool):
     """Recompute-forward backward: h/c history stays in VMEM scratch;
-    weight grads accumulate across the (sequential) batch-tile grid."""
+    weight grads accumulate across the (sequential) batch-tile grid.
+
+    ``need_dx=False`` (the replay-fed train path: windows are DATA, their
+    cotangent is discarded by construction) drops the dx output and its
+    dgates @ Wx^T matmuls -- ~T*2*4H*Dp FLOPs/row and a [Bt, L] HBM
+    write, with identical dw/db by construction.
+
+    The h history is stashed in BFLOAT16 scratch: h_prev is only ever
+    consumed through the bf16 input casts of the gate-recompute and dWh
+    matmuls, so the rounded stash is BIT-identical to stashing f32 and
+    casting at each use -- and it halves the largest scratch buffer,
+    buying the wider batch tile.  c history stays f32 (consumed by f32
+    gate math)."""
+    if need_dx:
+        dx_ref, dwx_ref, dwh_ref, db_ref, h_hist, c_hist = refs
+    else:
+        dwx_ref, dwh_ref, db_ref, h_hist, c_hist = refs
     Bt = x_ref.shape[0]
     f32 = jnp.float32
     wx, wh = wx_ref[:], wh_ref[:]  # pre-cast to bf16 by the wrapper
@@ -117,7 +132,7 @@ def _bwd_kernel(x_ref, wx_ref, wh_ref, b_ref, g_ref,
     h = jnp.zeros((Bt, H), f32)
     c = jnp.zeros((Bt, H), f32)
     for t in range(T):
-        h_hist[t] = h
+        h_hist[t] = h.astype(jnp.bfloat16)
         c_hist[t] = c
         gates = (_mxu_dot(x_ref[:, t * Dp:(t + 1) * Dp], wx)
                  + _mxu_dot(h, wh) + b)
@@ -136,7 +151,7 @@ def _bwd_kernel(x_ref, wx_ref, wh_ref, b_ref, g_ref,
     dc = jnp.zeros((Bt, H), f32)
     for t in reversed(range(T)):
         xt = x_ref[:, t * Dp:(t + 1) * Dp]
-        h_prev = h_hist[t]
+        h_prev = h_hist[t]              # bf16; consumed via bf16 dots only
         c_prev = c_hist[t]
         c_t = c_hist[t + 1]
         gates = _mxu_dot(xt, wx) + _mxu_dot(h_prev, wh) + b
@@ -155,10 +170,11 @@ def _bwd_kernel(x_ref, wx_ref, wh_ref, b_ref, g_ref,
         dh = jax.lax.dot_general(
             dgates.astype(jnp.bfloat16), wh,
             (((1,), (1,)), ((), ())), preferred_element_type=f32)
-        dx_ref[:, t * Dp:(t + 1) * Dp] = jax.lax.dot_general(
-            dgates.astype(jnp.bfloat16), wx,
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=f32).astype(dx_ref.dtype)
+        if need_dx:
+            dx_ref[:, t * Dp:(t + 1) * Dp] = jax.lax.dot_general(
+                dgates.astype(jnp.bfloat16), wx,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=f32).astype(dx_ref.dtype)
         # dWx += x_t^T @ dgates ; dWh += h_{t-1}^T @ dgates (contract batch)
         dwx_ref[:] += jax.lax.dot_general(
             xt.astype(jnp.bfloat16), dgates.astype(jnp.bfloat16),
@@ -169,7 +185,18 @@ def _bwd_kernel(x_ref, wx_ref, wh_ref, b_ref, g_ref,
         db_ref[:] += jnp.sum(dgates, axis=0, keepdims=True)
 
 
-_BT = 256  # backward batch tile (~11 MB VMEM at H=256, T=6)
+def _bwd_tile(T: int, L: int, H: int) -> int:
+    """Backward batch tile: 512 when the VMEM budget allows (half the
+    sequential grid trips of 256), else 256.  Budget model: bf16 h stash
+    + f32 c stash + double-buffered x/dx/g tiles + gate temporaries,
+    against ~16 MB VMEM."""
+    for bt in (512, 256):
+        stash = (T + 1) * bt * H * (2 + 4)            # h bf16 + c f32
+        tiles = 2 * (2 * bt * L * 4 + bt * H * 4)     # x, dx, g double-buf
+        temps = 6 * bt * H * 4 + bt * 4 * H * 4       # gate math + dgates
+        if stash + tiles + temps < 13 * 1024 * 1024:
+            return bt
+    return 128
 
 
 def _fwd_tile(B: int) -> int:
@@ -394,9 +421,15 @@ def _triple_op(T: int, Dp: int):
     def bwd(res, gs):
         x2c, w, b, wt, bt = res
         g_s, _g_na, _g_nb = gs  # target-path cotangents: zero by contract
-        dx, dw, db = _bwd_impl(x2c[:, :T * Dp], w, b, g_s, T, Dp)
-        dx2c = jnp.pad(dx, ((0, 0), (0, Dp)))  # last step: no loss-path use
-        return dx2c, dw, db, jnp.zeros_like(wt), jnp.zeros_like(bt)
+        # The window rows are replay DATA -- their cotangent has no
+        # consumer by construction (drqn train differentiates params
+        # only), so the backward kernel skips the dx output and its
+        # dgates @ Wx^T matmuls entirely (need_dx=False) and a symbolic
+        # zero is returned instead.
+        _, dw, db = _bwd_impl(x2c[:, :T * Dp], w, b, g_s, T, Dp,
+                              need_dx=False)
+        return (jnp.zeros_like(x2c), dw, db,
+                jnp.zeros_like(wt), jnp.zeros_like(bt))
 
     op.defvjp(fwd, bwd)
     return op
@@ -412,19 +445,38 @@ def lstm_last_flat_triple(x2c, w, b, wt, bt, T: int):
     return _triple_op(T, padded_dim(D))(x2c, w, b, wt, bt)
 
 
-def _bwd_impl(x2, w, b, g, T: int, Dp: int):
+def _bwd_impl(x2, w, b, g, T: int, Dp: int, need_dx: bool = True):
     _, L = x2.shape
     H = w.shape[1] // 4
     D = w.shape[0] - H
-    xp, B0, Bp = _pad_batch(x2, _BT)
-    gp, _, _ = _pad_batch(g, _BT)  # zero rows -> zero weight-grad term
+    bt = _bwd_tile(T, L, H)
+    xp, B0, Bp = _pad_batch(x2, bt)
+    gp, _, _ = _pad_batch(g, bt)  # zero rows -> zero weight-grad term
     wx, wh = _pad_w(w, D, Dp)
-    kernel = functools.partial(_bwd_kernel, T=T, Dp=Dp, H=H)
-    dx, dwx, dwh, db = pl.pallas_call(
+    kernel = functools.partial(_bwd_kernel, T=T, Dp=Dp, H=H,
+                               need_dx=need_dx)
+    w_out_specs = [
+        pl.BlockSpec((Dp, 4 * H), lambda ib: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((H, 4 * H), lambda ib: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 4 * H), lambda ib: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    w_out_shapes = [
+        jax.ShapeDtypeStruct((Dp, 4 * H), jnp.float32),
+        jax.ShapeDtypeStruct((H, 4 * H), jnp.float32),
+        jax.ShapeDtypeStruct((1, 4 * H), jnp.float32),
+    ]
+    dx_spec = [pl.BlockSpec((bt, L), lambda ib: (ib, 0),
+                            memory_space=pltpu.VMEM)] if need_dx else []
+    dx_shape = ([jax.ShapeDtypeStruct((Bp, L), x2.dtype)]
+                if need_dx else [])
+    out = pl.pallas_call(
         kernel,
-        grid=(Bp // _BT,),
+        grid=(Bp // bt,),
         in_specs=[
-            pl.BlockSpec((_BT, L), lambda ib: (ib, 0),
+            pl.BlockSpec((bt, L), lambda ib: (ib, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Dp, 4 * H), lambda ib: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -432,32 +484,23 @@ def _bwd_impl(x2, w, b, g, T: int, Dp: int):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4 * H), lambda ib: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BT, H), lambda ib: (ib, 0),
+            pl.BlockSpec((bt, H), lambda ib: (ib, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((_BT, L), lambda ib: (ib, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Dp, 4 * H), lambda ib: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, 4 * H), lambda ib: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4 * H), lambda ib: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Bp, L), x2.dtype),
-            jax.ShapeDtypeStruct((Dp, 4 * H), jnp.float32),
-            jax.ShapeDtypeStruct((H, 4 * H), jnp.float32),
-            jax.ShapeDtypeStruct((1, 4 * H), jnp.float32),
-        ],
+        out_specs=dx_spec + w_out_specs,
+        out_shape=dx_shape + w_out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((T + 1, _BT, H), jnp.float32),
-            pltpu.VMEM((T + 1, _BT, H), jnp.float32),
+            pltpu.VMEM((T + 1, bt, H), jnp.bfloat16),  # h stash
+            pltpu.VMEM((T + 1, bt, H), jnp.float32),   # c stash
         ],
         interpret=_interpret(),
     )(xp, wx, wh, b[None, :], gp)
-    dx = dx[:B0]
+    if need_dx:
+        dx, dwx, dwh, db = out
+        dx = dx[:B0]
+    else:
+        dwx, dwh, db = out
+        dx = None
     dw = jnp.concatenate([dwx[:D], dwh], axis=0).astype(w.dtype)
     return dx, dw, db[0].astype(b.dtype)
 

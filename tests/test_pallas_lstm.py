@@ -206,6 +206,8 @@ def test_triple_kernel_gradients_match_single():
 
     gt = jax.jit(jax.grad(f_triple, argnums=(0, 1, 2)))(x2c, pa["w"], pa["b"])
     gs = jax.jit(jax.grad(f_single, argnums=(0, 1, 2)))(x2c, pa["w"], pa["b"])
-    np.testing.assert_array_equal(np.asarray(gt[0]), np.asarray(gs[0]))
+    # the triple op's input cotangent is zero BY CONTRACT (windows are
+    # replay data, never differentiated -- the backward kernel skips dx)
+    np.testing.assert_array_equal(np.asarray(gt[0]), 0.0)
     np.testing.assert_array_equal(np.asarray(gt[1]), np.asarray(gs[1]))
     np.testing.assert_array_equal(np.asarray(gt[2]), np.asarray(gs[2]))
