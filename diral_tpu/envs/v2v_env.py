@@ -722,9 +722,16 @@ def positional_dist_piggy_type2(cfg: EnvConfig, state: EnvState):
     d, sign, fresh = _piggy_geometry(state)
     valid = fresh & (d < rng)
     impl = cfg.state.hist_impl
-    if impl in ("auto", "lanes") and cfg.num_users ** 2 <= 128:
-        op = _piggy_type2_lanes_op(cfg.num_users, bins, float(rng),
-                                   impl == "lanes")
+    # The envs-in-lanes kernel is NOT the auto path: an on-device A/B at
+    # the toy bench shapes measured the engine headline at 62.1M
+    # env-steps/s with it vs 78.0M on the XLA membership form (identical
+    # reward checksums) -- the [B,16]->[B/8,128] pack relayout, the
+    # per-step kernel launch and the [R,bins,E,N] unpack transpose cost
+    # more than the tile waste they remove (results/lanes_hist_ab.json,
+    # round 5; closes the round-3 "envs-in-lanes future work" thread with
+    # a negative result).  It stays available behind hist_impl="lanes".
+    if impl == "lanes" and cfg.num_users ** 2 <= 128:
+        op = _piggy_type2_lanes_op(cfg.num_users, bins, float(rng), True)
         return op(d * sign, valid)
     hist = masked_count_histogram(d * sign, valid, -float(rng), float(rng), bins)
     cnt = valid.sum(axis=1).astype(hist.dtype)

@@ -186,17 +186,12 @@ def _bwd_kernel(x_ref, wx_ref, wh_ref, b_ref, g_ref,
 
 
 def _bwd_tile(T: int, L: int, H: int) -> int:
-    """Backward batch tile: 512 when the VMEM budget allows (half the
-    sequential grid trips of 256), else 256.  Budget model: bf16 h stash
-    + f32 c stash + double-buffered x/dx/g tiles + gate temporaries,
-    against ~16 MB VMEM."""
-    for bt in (512, 256):
-        stash = (T + 1) * bt * H * (2 + 4)            # h bf16 + c f32
-        tiles = 2 * (2 * bt * L * 4 + bt * H * 4)     # x, dx, g double-buf
-        temps = 6 * bt * H * 4 + bt * 4 * H * 4       # gate math + dgates
-        if stash + tiles + temps < 13 * 1024 * 1024:
-            return bt
-    return 128
+    """Backward batch tile.  512 was measured to exceed the compiler's
+    16 MiB scoped-VMEM limit at the toy shapes (16.39 MiB compiled demand
+    -- Mosaic's real temporary footprint runs ~3.5 MiB past the analytic
+    stash+tiles+temps model), so the tile stays at 256; the bf16 h stash
+    still frees ~1.8 MiB of scratch there for the compiler."""
+    return 256
 
 
 def _fwd_tile(B: int) -> int:
