@@ -201,6 +201,26 @@ class WindowReplay(struct.PyTreeNode):
         }
 
 
+def _row_major(x):
+    """Pin a buffer to row-major layout on TPU (no-op elsewhere).
+
+    XLA's layout assignment carried the production replay ring through
+    the training scan in a {0,2,1} (batch-minor) layout while the window
+    gather wanted row-major, inserting a FULL-BUFFER layout copy (plus a
+    remat-compressed twin) inside the loop body -- 2x the replay's HBM
+    (the 100v/50r B=256 compile demanded 22.5 GB of 15.75) and a
+    per-event copy tax.  Constraining the post-add buffer keeps the scan
+    carry row-major end to end."""
+    if jax.default_backend() != "tpu":
+        return x
+    try:
+        from jax.experimental.layout import Layout, with_layout_constraint
+
+        return with_layout_constraint(x, Layout(tuple(range(x.ndim))))
+    except Exception:
+        return x
+
+
 class FusedWindowReplay(struct.PyTreeNode):
     """``WindowReplay`` with state | reward | action fused into one row per
     slot -- the DRQN training loop's production layout.
@@ -337,7 +357,7 @@ class FusedWindowReplay(struct.PyTreeNode):
             i2 = jnp.where(i < replay.pad, i + cap, i)
             buf = jax.lax.dynamic_update_index_in_dim(buf, row, i2, axis=1)
         return replay.replace(
-            buf=buf,
+            buf=_row_major(buf),
             ptr=(replay.ptr + 1) % cap,
             count=jnp.minimum(replay.count + 1, cap),
         )

@@ -28,8 +28,16 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-HBM_BYTES = 16 * 1024**3          # v5e: 16 GB
+HBM_BYTES = 16 * 1024**3          # v5e: 16 GB (15.75 usable)
 HBM_BUDGET = 0.85                 # leave headroom for XLA workspace/fusion
+# XLA:TPU inserts a FULL-BUFFER copy of the replay ring inside the
+# training loop body for the window GATHER's operand (measured with
+# compiled.memory_analysis() bisects: single dynamic_slice reads of the
+# while carry alias in place, batched gathers do not -- with or without
+# donation, any formulation: vmapped dynamic_slice, take-rows, flat-1d).
+# Peak HBM therefore carries ~2x the replay; the copy itself is
+# async-overlapped time-wise but halves the largest B that fits.
+GATHER_COPY_FACTOR = 2.0
 
 
 def per_env_bytes(cfg, itemsize: int) -> dict:
@@ -72,14 +80,18 @@ def main():
     budget = HBM_BYTES * HBM_BUDGET
     for name, item in (("float32", 4), ("bfloat16_storage", 2)):
         pe = per_env_bytes(cfg, item)
-        bmax = int(budget // pe["total"])
+        peak = (pe["total"] - pe["replay"]
+                + GATHER_COPY_FACTOR * pe["replay"])
+        bmax = int(budget // peak)
         out["hbm_model"][name] = {
             "per_env_bytes": pe,
             "per_env_mb": round(pe["total"] / 2**20, 2),
+            "per_env_peak_mb_with_gather_copy": round(peak / 2**20, 2),
             "largest_B_one_chip": bmax,
             "largest_pow2_B": 1 << (bmax.bit_length() - 1),
         }
-        print(f"{name}: {pe['total']/2**20:.1f} MB/env "
+        print(f"{name}: {pe['total']/2**20:.1f} MB/env logical, "
+              f"{peak/2**20:.1f} peak w/ gather copy "
               f"(replay {pe['replay']/2**20:.1f}) -> B_max ~ {bmax} "
               f"(pow2 {1 << (bmax.bit_length() - 1)})", flush=True)
 
