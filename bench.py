@@ -214,6 +214,16 @@ def main():
         with open(path, "w") as f:
             json.dump({"capture": out, "best_ever": hist,
                        "captured_unix": int(time.time())}, f, indent=1)
+        # keep the render-owned throughput tables in sync with the fresh
+        # capture (a driver-run bench would otherwise leave README/RESULTS
+        # stale against the artifact and fail `make results-check`)
+        import subprocess
+        r = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "render_results.py")],
+            capture_output=True, text=True, timeout=120)
+        log("render_results:", (r.stdout + r.stderr).strip().replace("\n", "; "))
     except Exception as e:
         log("bench_latest.json write failed:", repr(e))
 
