@@ -186,6 +186,12 @@ class EngineConfig:
     mesh_axes: tuple[str, ...] = ("data",)
     mesh_shape: tuple[int, ...] = (-1,)  # -1: all available devices
     donate: bool = True
+    # Replay window-gather lowering: "gather" (one batched gather; XLA
+    # copies the whole loop-carried ring for its operand), "scan"
+    # (sequential single-window dynamic slices; alias in place), or
+    # "auto" (scan once the ring is large enough that the copy dominates
+    # -- the 100v/50r configs; see loop._gather_flat_windows).
+    gather_impl: str = "auto"
 
 
 @dataclass(frozen=True)

@@ -132,7 +132,7 @@ def sampler_collective_bytes(cfg: ExperimentConfig, dtype_bytes: int = 4):
 
 
 def _gather_flat_windows(replay: FusedWindowReplay, keys, batch: int,
-                         step: int):
+                         step: int, gather_impl: str = "gather"):
     """``n`` independent uniform window draws across the env axis, one
     fused gather of whole FLAT windows.  Selection: flatten the (env,
     start) space, draw ``batch`` starts without replacement per key (the
@@ -179,10 +179,26 @@ def _gather_flat_windows(replay: FusedWindowReplay, keys, batch: int,
     W = step + 1
     R = replay.buf.shape[-1]
     zero = jnp.zeros((), env_idx.dtype)  # match index dtype under x64
-    fw = jax.vmap(
-        lambda e, s0: jax.lax.dynamic_slice(
-            replay.buf, (e, s0, zero), (1, W, R))[0]
-    )(env_idx, base)                          # [n*batch, W, N*(D+2)]
+    if gather_impl == "scan":
+        # Sequential single-window dynamic slices instead of one batched
+        # gather.  Why this exists (round 5, measured with
+        # compiled.memory_analysis() bisects): XLA:TPU inserts a
+        # FULL-BUFFER copy of the loop-carried replay ring for a batched
+        # GATHER's operand (every formulation), but single dynamic-slice
+        # reads alias in place -- the scan trades ~n*batch small
+        # sequential slices for the whole-ring copy's time and 2x HBM
+        # peak.  Wins when the ring is large relative to the draw count
+        # (the scale config); the batched gather stays the default.
+        def pull(_, es):
+            e, s0 = es
+            return None, jax.lax.dynamic_slice(
+                replay.buf, (e, s0, zero), (1, W, R))[0]
+        _, fw = jax.lax.scan(pull, None, (env_idx, base), unroll=4)
+    else:
+        fw = jax.vmap(
+            lambda e, s0: jax.lax.dynamic_slice(
+                replay.buf, (e, s0, zero), (1, W, R))[0]
+        )(env_idx, base)                      # [n*batch, W, N*(D+2)]
     fw, = jax.lax.optimization_barrier((fw,))
     return fw
 
@@ -196,7 +212,7 @@ def sample_windows_cross_env(replay: FusedWindowReplay, key, batch: int,
 
 
 def sample_windows_cross_env_many(replay: FusedWindowReplay, keys, batch: int,
-                                  step: int):
+                                  step: int, gather_impl: str = "gather"):
     """Window samples in the [n, batch, step, N, D] view layout.
 
     All four sample arrays come from one gather of the fused flat buffer:
@@ -213,7 +229,7 @@ def sample_windows_cross_env_many(replay: FusedWindowReplay, keys, batch: int,
     n = keys.shape[0]
     N = replay.num_users
     d = replay.state_dim
-    fw = _gather_flat_windows(replay, keys, batch, step)
+    fw = _gather_flat_windows(replay, keys, batch, step, gather_impl)
     fw = fw.reshape((n, batch, step + 1, N, -1))  # last dim = user stride
     return {
         "states": fw[:, :, :step, :, :d],
@@ -224,7 +240,8 @@ def sample_windows_cross_env_many(replay: FusedWindowReplay, keys, batch: int,
 
 
 def sample_window_rows_many(replay: FusedWindowReplay, keys, batch: int,
-                            step: int, windows_only: bool = False):
+                            step: int, windows_only: bool = False,
+                            gather_impl: str = "gather"):
     """Production window samples, pre-repacked to user-major Q-net rows.
 
     Returns dict of per-draw stacks:
@@ -253,7 +270,8 @@ def sample_window_rows_many(replay: FusedWindowReplay, keys, batch: int,
     D = replay.state_dim
     Dp = padded_dim(D)
     assert replay.user_stride == Dp, (replay.user_stride, Dp)
-    fw = _gather_flat_windows(replay, keys, batch, step)  # [n*b, W, N*Dp]
+    fw = _gather_flat_windows(replay, keys, batch, step,
+                              gather_impl)  # [n*b, W, N*Dp]
 
     # The replay's per-user stride IS the kernel's per-step stride, so a
     # user's window is an ALIGNED lane slice whose flat reshape is already
@@ -459,6 +477,21 @@ def make_train_functions(cfg: ExperimentConfig, dtype=jnp.float32, trace=None):
             key=k_carry,
         )
 
+    # Window-gather lowering.  The scan-of-dynamic-slices variant was
+    # built to dodge the batched gather's whole-ring operand copy (single
+    # dynamic-slice reads of the loop carry alias in place) -- and
+    # measured NEGATIVE on both counts at the scale config (round 5):
+    # 604 vs 691 f32 slots/s at B=16 (the ~512 sequential slices cost
+    # more than the 0.7 GB copy), and the B=192 compile still demanded
+    # ~2x the ring (17.15 GB), so the capacity win did not materialize
+    # either.  "auto" therefore resolves to the batched gather; "scan"
+    # stays available as an explicit experimental knob.
+    gi = cfg.engine.gather_impl
+    if gi == "auto":
+        gi = "gather"
+    elif gi not in ("gather", "scan"):
+        raise ValueError(f"bad gather_impl {gi!r}")
+
     def train_call(learner, replay, key, t):
         use_lstm = acfg.network.use_lstm_input
         step = T if use_lstm else 1
@@ -471,7 +504,8 @@ def make_train_functions(cfg: ExperimentConfig, dtype=jnp.float32, trace=None):
             # train step (drqn.train_on_windows); the MLP path keeps the
             # sliced states/next rows
             sample_rows_fn=lambda ks: sample_window_rows_many(
-                replay, ks, acfg.batch_size, step, windows_only=use_lstm
+                replay, ks, acfg.batch_size, step, windows_only=use_lstm,
+                gather_impl=gi
             ),
         )
 
