@@ -239,3 +239,49 @@ def test_best_checkpoint_tracking(tmp_path):
     chunk_means = [out["sum_reward"][:60].mean(), out["sum_reward"][60:].mean()]
     np.testing.assert_allclose(best["mean_sum_reward"],
                                max(chunk_means), rtol=1e-6)
+
+
+def test_bf16_storage_checkpoint_exact_resume(tmp_path):
+    """The round-5 bf16 STORAGE mode (replay ring + history in bf16)
+    must checkpoint/restore exactly and resume bit-identically -- the
+    carry's dtypes ride the pytree, so Orbax round-trips them, but this
+    pins it against regressions in the storage-dtype plumbing."""
+    import dataclasses
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from diral_tpu.config import toy_4ue_3r
+    from diral_tpu.train.loop import make_train_functions
+    from diral_tpu.train import checkpoint as CK
+
+    cfg = toy_4ue_3r(time_slots=200, memory_size=128, explore=20,
+                     save_positions=False)
+    cfg = dataclasses.replace(
+        cfg,
+        engine=dataclasses.replace(cfg.engine, num_envs=2),
+        agent=dataclasses.replace(
+            cfg.agent, batch_size=16, n_batch=1,
+            network=dataclasses.replace(cfg.agent.network, layers=(32, 32),
+                                        compute_dtype="bfloat16")))
+    init_carry, slot_step, _ = make_train_functions(cfg)
+    carry = jax.jit(init_carry)(jax.random.PRNGKey(0))
+    step = jax.jit(lambda c, ts: jax.lax.scan(slot_step, c, ts))
+    carry, _ = step(carry, jnp.arange(0, 100))
+    assert carry.replay.buf.dtype == jnp.bfloat16
+    assert carry.history.dtype == jnp.bfloat16
+
+    mgr = CK.checkpoint_manager(str(tmp_path / "ck"))
+    CK.save(mgr, 100, carry)
+    mgr.wait_until_finished()
+    restored, t0 = CK.restore(mgr, carry)
+    assert t0 == 100
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        carry, restored)
+    _, l1 = step(carry, jnp.arange(100, 200))
+    _, l2 = step(restored, jnp.arange(100, 200))
+    np.testing.assert_array_equal(np.asarray(l1["sum_reward"]),
+                                  np.asarray(l2["sum_reward"]))
