@@ -412,3 +412,32 @@ def test_fused_windows_train_step_matches_packed():
                 np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
                 err_msg=impl),
             l1.params, l2.params)
+
+
+def test_gather_impl_scan_matches_gather():
+    """The experimental scan-of-dynamic-slices sampler (engine.gather_impl
+    = "scan"; built to dodge the batched gather's whole-ring operand copy,
+    measured negative and kept behind the knob -- RESULTS round 5) must
+    stay BIT-identical to the default batched gather."""
+    from diral_tpu.train.loop import (make_train_functions,
+                                      sample_window_rows_many)
+
+    cfg = small_cfg()
+    cfg = dataclasses.replace(
+        cfg, engine=dataclasses.replace(cfg.engine, num_envs=3))
+    init_carry, slot_step, _ = make_train_functions(cfg)
+    carry = jax.jit(init_carry)(jax.random.PRNGKey(11))
+    carry, _ = jax.jit(lambda c: jax.lax.scan(slot_step, c, jnp.arange(70)))(
+        carry)
+    keys = jnp.stack([jax.random.PRNGKey(41), jax.random.PRNGKey(42)])
+    for wo in (False, True):
+        a = jax.jit(lambda r, k: sample_window_rows_many(
+            r, k, 16, 6, windows_only=wo, gather_impl="gather"))(
+                carry.replay, keys)
+        b = jax.jit(lambda r, k: sample_window_rows_many(
+            r, k, 16, 6, windows_only=wo, gather_impl="scan"))(
+                carry.replay, keys)
+        for name in a:
+            np.testing.assert_array_equal(np.asarray(a[name]),
+                                          np.asarray(b[name]),
+                                          err_msg=f"{name} wo={wo}")
