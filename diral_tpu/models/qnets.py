@@ -208,6 +208,12 @@ def drqn_apply_triple(params, target_params, x2c, cfg: AgentConfig):
     assert cfg.network.use_lstm_input and x2c.ndim == 2
     T = cfg.step_size
     Dp = x2c.shape[1] // (T + 1)
+    # the combined window must ride the kernel's padded per-step stride;
+    # a wrong T or layout would otherwise slice misaligned lanes SILENTLY
+    # on the fallback path (the Pallas path asserts internally)
+    H_ = params["lstm"]["w"].shape[1] // 4
+    assert Dp == pallas_lstm.padded_dim(params["lstm"]["w"].shape[0] - H_), (
+        x2c.shape, T, Dp)
     use_triple = (
         cfg.network.lstm_impl in ("auto", "pallas")
         and pallas_lstm.supported(
